@@ -1,0 +1,224 @@
+"""Typed configuration for the TPU-native tree-GCN framework.
+
+Replaces the reference's argparse→mutable-dict "opt" soup
+(``/root/reference/train.py:49-132``).  Every flag of the reference drivers is
+a field here (same names, same defaults where they are sane), plus
+TPU-specific fields (dtype policy, length buckets, mesh shape).
+
+Differences from the reference (deliberate — see SURVEY.md §7 "quirks"):
+
+* ``prune_k`` defaults to ``1`` — the reference default ``-1`` crashes its own
+  ``tree_to_adj`` (reference ``model/tree.py:70-79`` vs ``:194``); we support
+  ``-1`` (no pruning) properly.
+* ``full_deprel`` supports per-layer weights (``deprel_shared_w=False``) so
+  stacked layers work when ``in_dim != hidden_dim``; the reference's single
+  shared weight (``model/gcn.py:164-167``) crashes in that case.  Setting
+  ``deprel_shared_w=True`` reproduces the reference's parameterization for
+  parity when dimensions allow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyper-parameters (reference ``train.py:53-119``)."""
+
+    # embeddings
+    emb_dim: int = 300
+    ner_dim: int = 30
+    pos_dim: int = 30
+    vocab_size: int = 0           # filled from vocab at build time
+    topn: int = int(1e10)         # finetune only top-N word embedding rows
+    emb_dropout: float = 0.0      # type-level embedding dropout
+
+    # encoder
+    hidden_dim: int = 200
+    num_layers: int = 2
+    input_dropout: float = 0.5
+    gcn_dropout: float = 0.5
+
+    # BiLSTM front-end ("C-GCN")
+    rnn: bool = True
+    rnn_hidden: int = 200
+    rnn_layers: int = 1
+    rnn_dropout: float = 0.5
+
+    # graph / aggregation
+    prune_k: int = 1
+    adj_type: str = "regular"     # regular | diagonal_deprel | full_deprel
+    deprel_emb_dim: int = 200
+    deprel_dropout: float = 0.5
+    deprel_self_loop: bool = True
+    deprel_directed: bool = False
+    deprel_alpha: float = 1.0
+    edge_keep_prob: float = 1.0   # probability an edge survives edge-dropout
+    deprel_keep_prop: float = 1.0 # probability a deprel emb is NOT forgotten
+    deprel_max_depth: int = 2     # layers >= this use all-ones deprel embs
+    no_adj: bool = False          # ablation: zero out adjacency
+    # True = reference parameterization (single W shared across layers,
+    # requires in_dim == hidden_dim for num_layers > 1).
+    deprel_shared_w: bool = False
+
+    # heads
+    pooling: str = "max"          # max | avg | sum
+    mlp_layers: int = 2
+    num_class: int = 42
+
+    # dataset flavor ("tacred" has NER features; "semeval" does not)
+    dataset: str = "tacred"
+    use_bert_embeddings: bool = False
+
+    # TPU-native: matmul compute dtype ("bfloat16" or "float32").
+    # Params and accumulations stay float32 either way.
+    compute_dtype: str = "float32"
+
+    @property
+    def input_dim(self) -> int:
+        d = self.emb_dim + self.pos_dim
+        if self.dataset == "tacred":
+            d += self.ner_dim
+        return d
+
+    @property
+    def gcn_input_dim(self) -> int:
+        if self.rnn:
+            return 2 * self.rnn_hidden
+        return self.input_dim
+
+
+@dataclass
+class TrainConfig:
+    """Optimization / driver settings (reference ``train.py:79-119``)."""
+
+    lr: float = 1.0
+    lr_decay: float = 0.9
+    decay_epoch: int = 5
+    optim: str = "sgd"            # sgd | adagrad | adam | adamax | adadelta
+    num_epoch: int = 100
+    batch_size: int = 50
+    # reference accumulates gradients to an effective batch of 50
+    # (train.py:209); 0 = derive as max(1, 50 // batch_size)
+    effective_batch_size: int = 50
+    max_grad_norm: float = 5.0
+    log_step: int = 20
+    save_epoch: int = 100
+    seed: int = 1234
+    word_dropout: float = 0.04
+    conv_l2: float = 0.0
+    pooling_l2: float = 0.0
+    lower: bool = False
+
+    @property
+    def update_gap(self) -> int:
+        return max(1, self.effective_batch_size // self.batch_size)
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "dataset/tacred"
+    vocab_dir: str = "dataset/vocab"
+    train_file: str = "train.json"
+    dev_file: str = "dev.json"
+    test_file: str = "test.json"
+    # Static-shape length buckets: each batch is padded up to the smallest
+    # bucket >= its longest sentence, so XLA compiles once per bucket.
+    length_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128)
+    # Edge budget per bucket = edge_factor * bucket_len (a pruned dependency
+    # forest has < 2N forward edges; 2N covers fwd+rev handled separately).
+    edge_factor: int = 1
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map (new surface — the reference is
+    single-device only; SURVEY.md §2b)."""
+
+    data_axis: int = 0   # 0 = use all devices on the data axis
+    graph_axis: int = 1  # edge/graph-partition axis size
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    id: str = "00"
+    info: str = ""
+    model_save_dir: str = "saved_models"
+    log: str = "logs.txt"
+
+    # ------------------------------------------------------------------ IO
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        def build(tp, dd):
+            names = {f.name for f in dataclasses.fields(tp)}
+            return tp(**{k: v for k, v in dd.items() if k in names})
+
+        return cls(
+            model=build(ModelConfig, d.get("model", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            data=build(DataConfig, d.get("data", {})),
+            mesh=build(MeshConfig, d.get("mesh", {})),
+            **{
+                k: d[k]
+                for k in ("id", "info", "model_save_dir", "log")
+                if k in d
+            },
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=list)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def gcn_preset(**overrides: Any) -> Config:
+    """The paper's plain-GCN configuration (reference ``train_gcn.sh:4``)."""
+    cfg = Config()
+    cfg.model.rnn = False
+    cfg.model.prune_k = 1
+    cfg.model.pooling = "max"
+    cfg.model.mlp_layers = 2
+    cfg.train.lr = 0.3
+    cfg.train.pooling_l2 = 0.003
+    cfg.train.seed = 0
+    return _apply(cfg, overrides)
+
+
+def cgcn_preset(**overrides: Any) -> Config:
+    """The C-GCN configuration (reference ``train_cgcn.sh:5``)."""
+    cfg = Config()
+    cfg.model.rnn = True
+    cfg.model.rnn_hidden = 200
+    cfg.model.prune_k = 1
+    cfg.model.adj_type = "full_deprel"
+    cfg.model.deprel_emb_dim = 50
+    cfg.train.lr = 0.3
+    cfg.train.pooling_l2 = 0.003
+    cfg.train.word_dropout = 0.04
+    cfg.train.seed = 0
+    return _apply(cfg, overrides)
+
+
+def _apply(cfg: Config, overrides: dict) -> Config:
+    for k, v in overrides.items():
+        obj = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], v)
+    return cfg

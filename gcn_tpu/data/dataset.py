@@ -1,0 +1,280 @@
+"""Datasets and static-shape batching for relation extraction.
+
+Replaces the reference loaders (``data/loader.py``, ``data/semeval_loader.py``)
+with a TPU-friendly pipeline:
+
+* JSON → id arrays once at load (entity anonymization, position sequences —
+  same semantics as reference ``data/loader.py:44-72``),
+* dependency trees pruned **once** here (not per forward pass) into edge
+  lists (``gcn_tpu.graph.prune``),
+* batches padded to a small set of static length buckets so XLA compiles a
+  handful of programs instead of one per sentence length,
+* ragged trailing batches padded on the batch axis with an ``example_mask``
+  (the loss and scorer ignore padded rows), keeping every compiled shape
+  identical.
+
+The reference sorts each batch by length for cuDNN packed sequences
+(``data/loader.py:92-94``) and unsorts predictions afterwards; the TPU LSTM
+is a masked ``lax.scan`` and needs no sorting, so examples stay in gold
+order and ``orig_idx`` is the identity.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass
+from typing import Any, Iterator, Optional
+
+import numpy as np
+
+from gcn_tpu import constants as tacred_constants
+from gcn_tpu import constants_semeval as semeval_constants
+from gcn_tpu.config import Config
+from gcn_tpu.data.vocab import Vocab, map_to_ids
+from gcn_tpu.graph.prune import PrunedGraph, prune_graph
+
+
+def get_positions(start_idx: int, end_idx: int, length: int) -> list[int]:
+    """Entity-relative position sequence (reference ``data/loader.py:162-165``):
+    negative before the span, 0 inside, positive after."""
+    return (
+        list(range(-start_idx, 0))
+        + [0] * (end_idx - start_idx + 1)
+        + list(range(1, length - end_idx))
+    )
+
+
+@dataclass
+class Example:
+    words: np.ndarray          # [L] int32 token ids, or [L, D] float32 (BERT)
+    pos: np.ndarray            # [L] int32
+    ner: Optional[np.ndarray]  # [L] int32 (TACRED only)
+    deprel: np.ndarray         # [L] int32
+    head: np.ndarray           # [L] int32 (1-indexed, 0 = root)
+    subj_pos: np.ndarray       # [L] int32
+    obj_pos: np.ndarray        # [L] int32
+    relation: int
+    graph: PrunedGraph
+
+    @property
+    def length(self) -> int:
+        return int(self.pos.shape[0])
+
+
+def constants_for(dataset: str):
+    return tacred_constants if dataset == "tacred" else semeval_constants
+
+
+class RelationDataset:
+    """Load + preprocess a TACRED/SemEval JSON file.
+
+    Mirrors reference preprocessing (``data/loader.py:44-72`` and
+    ``data/semeval_loader.py:44-66``): lowercasing, SUBJ-/OBJ- entity
+    anonymization (TACRED only), UNK mapping, position sequences.  Trees are
+    pruned here once per example.
+    """
+
+    def __init__(
+        self,
+        filename: str,
+        cfg: Config,
+        vocab: Vocab,
+        evaluation: bool = False,
+        bert_embeddings: Optional[dict] = None,
+    ):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.evaluation = evaluation
+        self.dataset = cfg.model.dataset
+        self.C = constants_for(self.dataset)
+        self.label2id = self.C.LABEL_TO_ID
+        self.id2label = {v: k for k, v in self.label2id.items()}
+        self.bert_embeddings = bert_embeddings
+
+        with open(filename) as f:
+            data = json.load(f)
+        self.raw_data = data
+        self.examples = [self._preprocess(d) for d in data]
+
+    def _preprocess(self, d: dict) -> Example:
+        C = self.C
+        tokens = list(d["token"])
+        if self.cfg.train.lower:
+            tokens = [t.lower() for t in tokens]
+        ss, se = d["subj_start"], d["subj_end"]
+        os_, oe = d["obj_start"], d["obj_end"]
+        if self.dataset == "tacred":
+            # anonymize entities (data/loader.py:53-56)
+            tokens[ss : se + 1] = ["SUBJ-" + d["subj_type"]] * (se - ss + 1)
+            tokens[os_ : oe + 1] = ["OBJ-" + d["obj_type"]] * (oe - os_ + 1)
+
+        if self.bert_embeddings is not None:
+            words = np.asarray(self.bert_embeddings[d["id"]], dtype=np.float32)
+        else:
+            words = np.asarray(self.vocab.map(tokens), dtype=np.int32)
+
+        pos = np.asarray(map_to_ids(d["stanford_pos"], C.POS_TO_ID), dtype=np.int32)
+        ner = None
+        if self.dataset == "tacred":
+            ner = np.asarray(
+                map_to_ids(d["stanford_ner"], tacred_constants.NER_TO_ID),
+                dtype=np.int32,
+            )
+        deprel = np.asarray(
+            map_to_ids(d["stanford_deprel"], C.DEPREL_TO_ID), dtype=np.int32
+        )
+        head = np.asarray([int(x) for x in d["stanford_head"]], dtype=np.int32)
+        assert (head == 0).any(), "dependency tree has no root"
+        length = len(pos)
+        subj_pos = np.asarray(get_positions(ss, se, length), dtype=np.int32)
+        obj_pos = np.asarray(get_positions(os_, oe, length), dtype=np.int32)
+        graph = prune_graph(
+            head, deprel, length, self.cfg.model.prune_k, subj_pos, obj_pos
+        )
+        return Example(
+            words=words,
+            pos=pos,
+            ner=ner,
+            deprel=deprel,
+            head=head,
+            subj_pos=subj_pos,
+            obj_pos=obj_pos,
+            relation=self.label2id[d["relation"]],
+            graph=graph,
+        )
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+
+class Batcher:
+    """Chunk a dataset into static-shape padded batches.
+
+    Training order follows the reference: shuffle once at construction, then
+    fixed chunks each epoch (``data/loader.py:31-41``).  Word→UNK dropout is
+    re-sampled at every materialization, as in ``data/loader.py:97-100``.
+    """
+
+    def __init__(
+        self,
+        dataset: RelationDataset,
+        batch_size: int,
+        evaluation: bool = False,
+        seed: int = 1234,
+        length_buckets: Optional[list[int]] = None,
+        pad_batches: bool = True,
+    ):
+        self.ds = dataset
+        self.cfg = dataset.cfg
+        self.batch_size = batch_size
+        self.evaluation = evaluation
+        self.rng = np.random.RandomState(seed)
+        self.pad_batches = pad_batches
+        buckets = length_buckets or list(self.cfg.data.length_buckets)
+        self.length_buckets = sorted(buckets)
+
+        order = list(range(len(dataset)))
+        if not evaluation:
+            random.Random(seed).shuffle(order)
+        self.order = order
+        self.gold_labels = [
+            dataset.id2label[dataset.examples[i].relation] for i in order
+        ]
+        self.chunks = [
+            order[i : i + batch_size] for i in range(0, len(order), batch_size)
+        ]
+        self.num_examples = len(order)
+
+    def gold(self) -> list[str]:
+        """Gold labels in iteration order (reference ``data/loader.py:74-76``)."""
+        return self.gold_labels
+
+    def __len__(self) -> int:
+        return len(self.chunks)
+
+    def _bucket_len(self, max_len: int) -> int:
+        for b in self.length_buckets:
+            if max_len <= b:
+                return b
+        return max_len  # beyond the largest bucket: pad to actual max
+
+    def materialize(self, chunk: list[int]) -> dict[str, np.ndarray]:
+        cfg = self.cfg
+        exs = [self.ds.examples[i] for i in chunk]
+        bsz = len(exs)
+        pad_b = self.batch_size if self.pad_batches else bsz
+        n = self._bucket_len(max(e.length for e in exs))
+        e_cap = n  # a tree over n tokens has < n edges
+        use_bert = exs[0].words.ndim == 2
+
+        if use_bert:
+            emb_d = exs[0].words.shape[-1]
+            words = np.zeros((pad_b, n, emb_d), dtype=np.float32)
+        else:
+            words = np.full((pad_b, n), tacred_constants.PAD_ID, dtype=np.int32)
+        pos = np.zeros((pad_b, n), dtype=np.int32)
+        ner = np.zeros((pad_b, n), dtype=np.int32)
+        deprel = np.zeros((pad_b, n), dtype=np.int32)
+        subj_mask = np.zeros((pad_b, n), dtype=bool)
+        obj_mask = np.zeros((pad_b, n), dtype=bool)
+        pad_mask = np.ones((pad_b, n), dtype=bool)
+        lengths = np.zeros((pad_b,), dtype=np.int32)
+        labels = np.zeros((pad_b,), dtype=np.int32)
+        example_mask = np.zeros((pad_b,), dtype=bool)
+        edge_parent = np.zeros((pad_b, e_cap), dtype=np.int32)
+        edge_child = np.zeros((pad_b, e_cap), dtype=np.int32)
+        edge_deprel = np.zeros((pad_b, e_cap), dtype=np.int32)
+        edge_mask = np.zeros((pad_b, e_cap), dtype=bool)
+
+        word_do = cfg.train.word_dropout if not self.evaluation else 0.0
+        for b, ex in enumerate(exs):
+            L = ex.length
+            w = ex.words
+            if word_do > 0 and not use_bert:
+                # reference data/loader.py:182-189: UNK substitution, never
+                # re-dropping existing UNKs
+                drop = (self.rng.random_sample(L) < word_do) & (
+                    w != tacred_constants.UNK_ID
+                )
+                w = np.where(drop, tacred_constants.UNK_ID, w)
+            words[b, :L] = w
+            pos[b, :L] = ex.pos
+            if ex.ner is not None:
+                ner[b, :L] = ex.ner
+            deprel[b, :L] = ex.deprel
+            subj_mask[b, :L] = ex.subj_pos == 0
+            obj_mask[b, :L] = ex.obj_pos == 0
+            pad_mask[b, :L] = False
+            lengths[b] = L
+            labels[b] = ex.relation
+            example_mask[b] = True
+            g = ex.graph
+            ne = g.num_edges
+            edge_parent[b, :ne] = g.edge_parent
+            edge_child[b, :ne] = g.edge_child
+            edge_deprel[b, :ne] = g.edge_deprel
+            edge_mask[b, :ne] = True
+
+        batch = {
+            "words": words,
+            "pad_mask": pad_mask,
+            "pos": pos,
+            "deprel": deprel,
+            "subj_mask": subj_mask,
+            "obj_mask": obj_mask,
+            "lengths": lengths,
+            "labels": labels,
+            "example_mask": example_mask,
+            "edge_parent": edge_parent,
+            "edge_child": edge_child,
+            "edge_deprel": edge_deprel,
+            "edge_mask": edge_mask,
+        }
+        if self.ds.dataset == "tacred":
+            batch["ner"] = ner
+        return batch
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        for chunk in self.chunks:
+            yield self.materialize(chunk)

@@ -1,0 +1,365 @@
+"""The GCN relation-extraction model family (flax.linen).
+
+Capability-parity with the reference model stack
+(``GCNClassifier → GCNRelationModel → GCN``, ``model/gcn.py:15-493``),
+re-architected for TPU:
+
+* adjacency is rebuilt on-device from edge lists (one scatter) instead of a
+  host round-trip per forward (``model/gcn.py:102-112``),
+* the BiLSTM front-end is a masked ``lax.scan`` (no sort/pack),
+* all three ``adj_type`` aggregation modes are batched matmuls on the MXU
+  (``gcn_tpu.ops.gcn_layers``),
+* dropout/edge-drop/deprel-forgetting are explicit RNG-keyed transforms.
+
+Parameter naming is stable so checkpoint ↔ torch-state-dict mapping is
+mechanical (see ``tools/make_goldens.py``).
+
+Deviation from the reference: ``full_deprel`` uses per-layer bilinear
+weights by default (``cfg.deprel_shared_w=False``) because the reference's
+single shared weight (``model/gcn.py:164-167``) only admits stacked layers
+when ``gcn_input_dim == hidden_dim`` — the shipped C-GCN config actually
+crashes in the reference.  Set ``deprel_shared_w=True`` for the reference
+parameterization when dimensions allow.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_tpu import constants
+from gcn_tpu.config import ModelConfig
+from gcn_tpu.ops.adjacency import build_adjacency
+from gcn_tpu.ops.dropout import (
+    drop_edges,
+    dropout,
+    embedding_dropout_mask,
+    forget_deprels,
+)
+from gcn_tpu.ops.gcn_layers import (
+    diagonal_deprel_layer,
+    full_deprel_layer,
+    regular_layer,
+)
+from gcn_tpu.ops.lstm import bilstm
+from gcn_tpu.ops.pooling import pool
+
+
+def _uniform(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _word_emb_init(key, shape, dtype=jnp.float32):
+    """uniform(-1,1) with PAD row zeroed (reference ``model/gcn.py:73-75``)."""
+    emb = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+    return emb.at[constants.PAD_ID].set(0.0)
+
+
+def _emb_init(key, shape, dtype=jnp.float32):
+    """torch nn.Embedding default: N(0,1)."""
+    return jax.random.normal(key, shape, dtype)
+
+
+def _deprel_emb_init(key, shape, dtype=jnp.float32):
+    """N(0,1) with padding row 0 zeroed (reference ``model/gcn.py:56``)."""
+    return jax.random.normal(key, shape, dtype).at[0].set(0.0)
+
+
+class TorchDense(nn.Module):
+    """Linear layer with torch ``nn.Linear`` default init
+    (kaiming-uniform ⇒ U(±1/√fan_in) for weight and bias)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param("kernel", _uniform(bound), (fan_in, self.features))
+        bias = self.param("bias", _uniform(bound), (self.features,))
+        y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
+class BiLSTM(nn.Module):
+    """Parameter container for ``gcn_tpu.ops.lstm.bilstm`` with torch
+    ``nn.LSTM`` init (all weights U(±1/√H))."""
+
+    hidden: int
+    num_layers: int
+    dropout_rate: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic: bool):
+        bound = 1.0 / math.sqrt(self.hidden)
+        params = []
+        in_dim = x.shape[-1]
+        for li in range(self.num_layers):
+            layer = {}
+            for d in ("fwd", "bwd"):
+                layer[d] = {
+                    "w_ih": self.param(
+                        f"l{li}_{d}_w_ih", _uniform(bound),
+                        (in_dim, 4 * self.hidden),
+                    ),
+                    "w_hh": self.param(
+                        f"l{li}_{d}_w_hh", _uniform(bound),
+                        (self.hidden, 4 * self.hidden),
+                    ),
+                    "b_ih": self.param(
+                        f"l{li}_{d}_b_ih", _uniform(bound), (4 * self.hidden,)
+                    ),
+                    "b_hh": self.param(
+                        f"l{li}_{d}_b_hh", _uniform(bound), (4 * self.hidden,)
+                    ),
+                }
+            params.append(layer)
+            in_dim = 2 * self.hidden
+        key = None
+        if not deterministic and self.dropout_rate > 0 and self.num_layers > 1:
+            key = self.make_rng("dropout")
+        x = x.astype(self.dtype)
+        params = jax.tree.map(lambda p: p.astype(self.dtype), params)
+        return bilstm(
+            params, x, lengths,
+            inter_dropout=self.dropout_rate,
+            deterministic=deterministic,
+            key=key,
+        )
+
+
+class GCNClassifier(nn.Module):
+    """Full classifier: embeddings → [BiLSTM] → GCN stack → pool → MLP →
+    logits.  Returns ``(logits, h_out)`` where ``h_out`` is the sentence
+    pooling output used for the L2 penalty (reference ``model/gcn.py:27-30``,
+    ``model/trainer.py:99-100``)."""
+
+    cfg: ModelConfig
+
+    @property
+    def deprel_side(self) -> int:
+        # reference model/gcn.py:48-55
+        if self.cfg.adj_type == "diagonal_deprel":
+            return self.cfg.hidden_dim
+        if self.cfg.adj_type == "regular":
+            return 1
+        return self.cfg.deprel_emb_dim
+
+    def _deprel_lookup(self, table, ids):
+        e = jnp.take(table, ids, axis=0)
+        # padding_idx=0 (reference model/gcn.py:56): row 0 is always zero
+        return jnp.where((ids == 0)[..., None], jnp.zeros((), e.dtype), e)
+
+    @nn.compact
+    def __call__(self, batch: dict, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        words = batch["words"]
+        n = words.shape[1]
+        use_bert = words.ndim == 3
+
+        adj = build_adjacency(
+            batch["edge_parent"], batch["edge_child"], batch["edge_mask"],
+            n, dtype=dtype,
+        )
+
+        def rng():
+            return self.make_rng("dropout")
+
+        # ---------------------------------------------------------- embeddings
+        if use_bert:
+            word_vecs = words.astype(dtype)
+        else:
+            emb = self.param(
+                "word_emb", _word_emb_init, (cfg.vocab_size, cfg.emb_dim)
+            )
+            word_vecs = jnp.take(emb, words, axis=0)
+            if not deterministic and cfg.emb_dropout > 0:
+                mult = embedding_dropout_mask(
+                    rng(), words, cfg.vocab_size, cfg.emb_dropout, False
+                )
+                word_vecs = word_vecs * mult.astype(word_vecs.dtype)
+            # padding_idx=0 semantics (reference model/gcn.py:45)
+            word_vecs = jnp.where(
+                (words == 0)[..., None], jnp.zeros((), word_vecs.dtype),
+                word_vecs,
+            )
+        embs = [word_vecs.astype(dtype)]
+        if cfg.pos_dim > 0:
+            # TACRED: 47 tags (reference model/gcn.py:46).  SemEval adds a
+            # 'pad' tag at id 47 which would index out-of-bounds in the
+            # reference's TACRED-sized table — we size per dataset.
+            from gcn_tpu.data.dataset import constants_for
+
+            n_pos = len(constants_for(cfg.dataset).POS_TO_ID)
+            pos_emb = self.param(
+                "pos_emb", _emb_init, (n_pos, cfg.pos_dim)
+            )
+            embs.append(jnp.take(pos_emb, batch["pos"], axis=0).astype(dtype))
+        if cfg.ner_dim > 0 and cfg.dataset == "tacred":
+            ner_emb = self.param(
+                "ner_emb", _emb_init, (len(constants.NER_TO_ID), cfg.ner_dim)
+            )
+            embs.append(jnp.take(ner_emb, batch["ner"], axis=0).astype(dtype))
+        h = jnp.concatenate(embs, axis=2)
+        h = dropout(rng() if not deterministic else None, h,
+                    cfg.input_dropout, deterministic)
+
+        # ------------------------------------------------------------- BiLSTM
+        if cfg.rnn:
+            h = BiLSTM(
+                hidden=cfg.rnn_hidden,
+                num_layers=cfg.rnn_layers,
+                dropout_rate=cfg.rnn_dropout,
+                dtype=dtype,
+                name="rnn",
+            )(h, batch["lengths"], deterministic)
+            h = dropout(rng() if not deterministic else None, h,
+                        cfg.rnn_dropout, deterministic)
+
+        if cfg.adj_type == "diagonal_deprel":
+            h = TorchDense(cfg.hidden_dim, dtype=dtype, name="preprocessor")(h)
+
+        # ---------------------------------------------------------- GCN stack
+        deprel_table = self.param(
+            "deprel_emb", _deprel_emb_init,
+            (len(constants.DEPREL_TO_ID), self.deprel_side),
+        ).astype(dtype)
+        deprel = batch["deprel"]
+        denom = adj.denom.astype(dtype)
+
+        deprel_ws = None
+        if cfg.adj_type == "full_deprel":
+            d = cfg.deprel_emb_dim
+            t0 = h.shape[-1]
+            if cfg.deprel_shared_w:
+                if cfg.num_layers > 1 and t0 != cfg.hidden_dim:
+                    raise ValueError(
+                        "deprel_shared_w requires gcn_input_dim == hidden_dim"
+                        " for stacked layers (the reference's latent "
+                        "constraint, model/gcn.py:164-167)"
+                    )
+                bound = 1.0 / math.sqrt(t0)
+                w = self.param("gcn_deprel_w", _uniform(bound),
+                               (d, t0, cfg.hidden_dim))
+                b = self.param("gcn_deprel_b", _uniform(bound),
+                               (d, cfg.hidden_dim))
+                deprel_ws = [(w, b)] * cfg.num_layers
+            else:
+                deprel_ws = []
+                for l in range(cfg.num_layers):
+                    t_l = t0 if l == 0 else cfg.hidden_dim
+                    bound = 1.0 / math.sqrt(t_l)
+                    deprel_ws.append((
+                        self.param(f"gcn_deprel_w{l}", _uniform(bound),
+                                   (d, t_l, cfg.hidden_dim)),
+                        self.param(f"gcn_deprel_b{l}", _uniform(bound),
+                                   (d, cfg.hidden_dim)),
+                    ))
+
+        for l in range(cfg.num_layers):
+            if cfg.adj_type == "regular":
+                t_in = h.shape[-1]
+                bound = 1.0 / math.sqrt(t_in)
+                w = self.param(f"gcn_w{l}_kernel", _uniform(bound),
+                               (t_in, cfg.hidden_dim)).astype(dtype)
+                b = self.param(f"gcn_w{l}_bias", _uniform(bound),
+                               (cfg.hidden_dim,)).astype(dtype)
+                axw = regular_layer(h, adj.combined, w, b,
+                                    no_adj=cfg.no_adj)
+            elif cfg.adj_type == "diagonal_deprel":
+                e_fwd = self._deprel_lookup(deprel_table, deprel)
+                e_rev = jnp.take(
+                    deprel_table, deprel + constants.DEPREL_FORWARD_BOUND,
+                    axis=0,
+                )
+                e_self = deprel_table[constants.SELF_LOOP_INDEX][None, None, :]
+                axw = diagonal_deprel_layer(h, adj.forward, e_fwd, e_rev,
+                                            e_self)
+            elif cfg.adj_type == "full_deprel":
+                w, b = deprel_ws[l]
+                axw = self._full_deprel(
+                    h, adj, deprel_table, deprel, l, w, b, dtype,
+                    deterministic,
+                )
+            else:
+                raise ValueError(f"unknown adj_type: {cfg.adj_type}")
+
+            axw = axw / denom
+            h = jax.nn.relu(axw)
+            if l < cfg.num_layers - 1:
+                h = dropout(rng() if not deterministic else None, h,
+                            cfg.gcn_dropout, deterministic)
+
+        # ------------------------------------------------------------ pooling
+        kind = cfg.pooling
+        h_out = pool(h, adj.pool_mask, kind)
+        subj_out = pool(h, ~batch["subj_mask"], kind)
+        obj_out = pool(h, ~batch["obj_mask"], kind)
+        out = jnp.concatenate([h_out, subj_out, obj_out], axis=1)
+
+        # --------------------------------------------------------- output MLP
+        for i in range(cfg.mlp_layers):
+            out = TorchDense(cfg.hidden_dim, dtype=dtype, name=f"mlp{i}")(out)
+            out = jax.nn.relu(out)
+        logits = TorchDense(cfg.num_class, dtype=dtype, name="classifier")(out)
+        return logits.astype(jnp.float32), h_out.astype(jnp.float32)
+
+    # ------------------------------------------------------------ full_deprel
+    def _full_deprel(self, h, adj, deprel_table, deprel, l, w, b, dtype,
+                     deterministic):
+        cfg = self.cfg
+        d = cfg.deprel_emb_dim
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+
+        def rng():
+            return self.make_rng("dropout")
+
+        stochastic = not deterministic
+        past_depth = l >= cfg.deprel_max_depth
+        ones_e = jnp.ones(h.shape[:2] + (d,), dtype)
+
+        # forward band (reference model/gcn.py:307-335)
+        a_f = adj.forward
+        if stochastic and cfg.edge_keep_prob < 1.0:
+            a_f = drop_edges(rng(), a_f, cfg.edge_keep_prob, False)
+        e_fwd = self._deprel_lookup(deprel_table, deprel)
+        if stochastic and cfg.deprel_keep_prop < 1.0:
+            e_fwd = forget_deprels(rng(), e_fwd, cfg.deprel_keep_prop, False)
+        if past_depth:
+            e_fwd = ones_e
+
+        e_rev = None
+        a_r = None
+        if not cfg.deprel_directed:
+            a_r = adj.reverse
+            if stochastic and cfg.edge_keep_prob < 1.0:
+                a_r = drop_edges(rng(), a_r, cfg.edge_keep_prob, False)
+            e_rev = jnp.take(
+                deprel_table, deprel + constants.DEPREL_FORWARD_BOUND, axis=0
+            )
+            if stochastic and cfg.deprel_keep_prop < 1.0:
+                e_rev = forget_deprels(rng(), e_rev,
+                                       cfg.deprel_keep_prop, False)
+            if past_depth:
+                e_rev = ones_e
+
+        e_self = None
+        if cfg.deprel_self_loop:
+            e_self = deprel_table[constants.SELF_LOOP_INDEX]
+            if past_depth:
+                e_self = jnp.ones((d,), dtype)
+
+        return full_deprel_layer(h, a_f, e_fwd, e_rev, e_self, w, b,
+                                 adj_reverse=a_r)

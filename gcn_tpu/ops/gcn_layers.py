@@ -1,0 +1,119 @@
+"""Dense-XLA GCN aggregation — the three ``adj_type`` modes.
+
+These are the *reference implementations* of the aggregation math (exact
+parity with ``model/gcn.py:266-393``), expressed as batched matmuls that XLA
+tiles straight onto the MXU.  The Pallas kernels in
+``gcn_tpu.ops.deprel_pallas`` / ``spmm_pallas`` are drop-in replacements for
+the hot paths, allclose-tested against these.
+
+All functions take pre-built band matrices (``gcn_tpu.ops.adjacency``) and
+return the *un-normalized* layer output; the caller divides by ``denom`` and
+applies ReLU + dropout (mirroring the reference layer-loop structure at
+``model/gcn.py:390-393``).
+
+Shapes:  h [B,N,T], bands [B,N,N], W [T,H], deprel embs [B,N,D].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def regular_layer(
+    h: jax.Array,
+    adj_combined: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    no_adj: bool = False,
+) -> jax.Array:
+    """``W(A h) + W(h)`` with the fused form ``((A+I) h) W + 2b``
+    (reference ``model/gcn.py:267-271``).  ``no_adj`` zeroes only the
+    neighbor sum (the ablation at ``model/gcn.py:264-265`` — the denominator
+    keeps the true degrees)."""
+    if no_adj:
+        ax = h
+    else:
+        ax = jnp.matmul(adj_combined, h) + h
+    return jnp.matmul(ax, w) + 2.0 * b
+
+
+def diagonal_deprel_layer(
+    h: jax.Array,
+    adj_forward: jax.Array,
+    e_fwd: jax.Array,
+    e_rev: jax.Array,
+    e_self: jax.Array,
+) -> jax.Array:
+    """Element-wise deprel gating (reference ``model/gcn.py:272-294``):
+    ``A_f (e_fwd ⊙ h) + A_fᵀ (e_rev ⊙ h) + e_self ⊙ h``.
+
+    Note the reference indexes the *reverse* gate by the message-sender
+    column of the reverse band — i.e. by the parent token's own deprel id
+    (+42), not the edge's deprel; ``e_rev`` must be built accordingly.
+    """
+    fwd = jnp.matmul(adj_forward, e_fwd * h)
+    rev = jnp.matmul(jnp.swapaxes(adj_forward, 1, 2), e_rev * h)
+    return fwd + rev + e_self * h
+
+
+def bilinear_traverse(
+    h: jax.Array,
+    e: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Per-token deprel-conditioned bilinear transform
+    (reference ``traverse_deprel``, ``model/gcn.py:400-415``):
+
+      out[b,n,:] = Σ_d e[b,n,d] · (h[b,n,:] @ W[d] + bias[d])
+
+    The reference materializes the [B,N,D,T] outer product
+    (``model/gcn.py:410``); here the contraction order is left to XLA via a
+    single 3-operand einsum (the Pallas kernel avoids the intermediate
+    entirely).
+    """
+    out = jnp.einsum("bnd,bnt,dth->bnh", e, h, w)
+    return out + jnp.einsum("bnd,dh->bnh", e, b)
+
+
+def self_loop_traverse(
+    h: jax.Array, e_self: jax.Array, w: jax.Array, b: jax.Array
+) -> jax.Array:
+    """Self-loop path of full_deprel (reference ``traverse_self_loop``,
+    ``model/gcn.py:417-434``): collapse W over the deprel axis with the
+    self-loop embedding, then one plain matmul."""
+    sl_w = jnp.einsum("d,dth->th", e_self, w)
+    sl_b = jnp.einsum("d,dh->h", e_self, b)
+    return h @ sl_w + sl_b
+
+
+def full_deprel_layer(
+    h: jax.Array,
+    adj_forward: jax.Array,
+    e_fwd: jax.Array,
+    e_rev: jax.Array | None,
+    e_self: jax.Array | None,
+    w: jax.Array,
+    b: jax.Array,
+    adj_reverse: jax.Array | None = None,
+) -> jax.Array:
+    """Per-edge-relation bilinear aggregation
+    (reference ``model/gcn.py:296-386``).
+
+    ``e_rev=None`` ⇒ directed (skip reverse band); ``e_self=None`` ⇒ no
+    self loop.  ``adj_forward``/``adj_reverse`` are passed separately because
+    edge dropout samples independent masks per band
+    (``model/gcn.py:313,347``).
+    """
+    out = jnp.matmul(adj_forward, bilinear_traverse(h, e_fwd, w, b))
+    if e_rev is not None:
+        rev_band = (
+            adj_reverse
+            if adj_reverse is not None
+            else jnp.swapaxes(adj_forward, 1, 2)
+        )
+        out = out + jnp.matmul(rev_band, bilinear_traverse(h, e_rev, w, b))
+    if e_self is not None:
+        out = out + self_loop_traverse(h, e_self, w, b)
+    return out

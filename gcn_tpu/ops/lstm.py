@@ -1,0 +1,96 @@
+"""Masked bidirectional LSTM via ``lax.scan``.
+
+TPU-native replacement for the reference's cuDNN packed-sequence BiLSTM
+(reference ``model/gcn.py:141-146,186-197``).  Packed-sequence semantics are
+reproduced with masking instead of sorting+packing:
+
+* hidden/cell state freeze once ``t >= length`` (so the final state equals
+  the state at the last valid step — irrelevant here, outputs are used),
+* outputs at padded positions are exactly 0 (what ``pad_packed_sequence``
+  yields),
+* the reverse direction runs over the *length-reversed* valid prefix of each
+  row, as cuDNN does for bidirectional packed input.
+
+Gate order follows torch (i, f, g, o) so reference checkpoints map 1:1.
+The input projection for all timesteps is hoisted into one big ``[B·T, 4H]``
+matmul (MXU-friendly); only the ``h @ W_hh`` recurrence lives inside the
+scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcn_tpu.ops.dropout import dropout
+
+
+def _reverse_by_length(x: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Reverse each row's first ``length`` steps; padded tail is zeroed."""
+    t = x.shape[1]
+    pos = jnp.arange(t)[None, :]                       # [1,T]
+    idx = jnp.clip(lengths[:, None] - 1 - pos, 0, t - 1)
+    gathered = jnp.take_along_axis(
+        x, idx[:, :, None].astype(jnp.int32), axis=1
+    )
+    valid = pos < lengths[:, None]
+    return jnp.where(valid[:, :, None], gathered, jnp.zeros((), x.dtype))
+
+
+def _unidirectional(
+    x: jax.Array, lengths: jax.Array, w_ih, w_hh, b_ih, b_hh
+) -> jax.Array:
+    """One direction over [B,T,D] → [B,T,H]; padded outputs are 0."""
+    b, t, _ = x.shape
+    h_dim = w_hh.shape[0]
+    xp = x @ w_ih + (b_ih + b_hh)  # [B,T,4H]
+    xp_t = jnp.swapaxes(xp, 0, 1)  # time-major for scan
+
+    def step(carry, inp):
+        h, c, step_idx = carry
+        xt = inp
+        gates = xt + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        valid = (step_idx < lengths)[:, None]
+        h2 = jnp.where(valid, h_new, h)
+        c2 = jnp.where(valid, c_new, c)
+        y = jnp.where(valid, h_new, jnp.zeros((), h_new.dtype))
+        return (h2, c2, step_idx + 1), y
+
+    zeros = jnp.zeros((b, h_dim), dtype=x.dtype)
+    (_, _, _), ys = jax.lax.scan(step, (zeros, zeros, jnp.int32(0)), xp_t)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def bilstm(
+    params: list[dict],
+    x: jax.Array,
+    lengths: jax.Array,
+    inter_dropout: float = 0.0,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-layer BiLSTM: params is a list (one per layer) of
+    ``{'fwd': {w_ih [D,4H], w_hh [H,4H], b_ih, b_hh}, 'bwd': {...}}``.
+
+    ``inter_dropout`` applies between stacked layers (torch ``nn.LSTM``
+    dropout semantics: all layers except the last; no-op for 1 layer).
+    Returns [B,T,2H] with zeros at padded positions.
+    """
+    h = x
+    for li, layer in enumerate(params):
+        fwd = _unidirectional(h, lengths, **layer["fwd"])
+        h_rev = _reverse_by_length(h, lengths)
+        bwd_rev = _unidirectional(h_rev, lengths, **layer["bwd"])
+        bwd = _reverse_by_length(bwd_rev, lengths)
+        h = jnp.concatenate([fwd, bwd], axis=-1)
+        if li < len(params) - 1 and inter_dropout > 0.0:
+            key, sub = jax.random.split(key)
+            h = dropout(sub, h, inter_dropout, deterministic)
+    return h

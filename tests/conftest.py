@@ -1,0 +1,36 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform.
+
+The axon sitecustomize registers a tunneled single-chip TPU backend and sets
+``jax_platforms`` programmatically, so the env var alone is not enough — we
+override via ``jax.config`` before any computation runs.  Eight host devices
+let the sharding tests exercise real meshes without TPU hardware
+(SURVEY.md §4).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens_dir():
+    return GOLDEN_DIR
+
+
+def load_golden(name: str) -> dict:
+    path = os.path.join(GOLDEN_DIR, name)
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
