@@ -1,0 +1,167 @@
+"""Argparse → Config mapping with reference-compatible flag names.
+
+Every flag of the reference drivers (``train.py:49-120``) is accepted under
+the same name, so the shipped invocations (``train_gcn.sh``,
+``train_cgcn.sh``, ``train_cgcn_semeval.sh``) work verbatim against these
+CLIs.  Extra TPU-native flags (compute dtype, buckets) are added on top.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from gcn_tpu.config import Config
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def build_parser(dataset: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", type=str, default="dataset/tacred")
+    p.add_argument("--vocab_dir", type=str, default="dataset/vocab")
+    p.add_argument("--model_save_dir", type=str, default="saved_models")
+    p.add_argument("--train_file", type=str, default="train.json",
+                   help="Training split file name (the reference hard-codes "
+                        "train_0.1.json, a 10%% subsample).")
+    p.add_argument("--emb_dim", type=int, default=300)
+    p.add_argument("--ner_dim", type=int, default=30)
+    p.add_argument("--pos_dim", type=int, default=30)
+    p.add_argument("--hidden_dim", type=int, default=200)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--input_dropout", type=float, default=0.5)
+    p.add_argument("--gcn_dropout", type=float, default=0.5)
+    p.add_argument("--word_dropout", type=float, default=0.04)
+    p.add_argument("--topn", type=int, default=int(1e10))
+    p.add_argument("--lower", dest="lower", action="store_true")
+    p.add_argument("--no-lower", dest="lower", action="store_false")
+    p.set_defaults(lower=False)
+
+    p.add_argument("--prune_k", default=1, type=int,
+                   help="-1 keeps the whole tree (works here; crashes the "
+                        "reference).")
+    p.add_argument("--conv_l2", type=float, default=0)
+    p.add_argument("--pooling", choices=["max", "avg", "sum"], default="max")
+    p.add_argument("--pooling_l2", type=float, default=0)
+    p.add_argument("--mlp_layers", type=int, default=2)
+    p.add_argument("--no_adj", dest="no_adj", action="store_true")
+    p.set_defaults(no_adj=False)
+
+    p.add_argument("--rnn", dest="rnn", action="store_true")
+    p.add_argument("--no-rnn", dest="rnn", action="store_false")
+    p.set_defaults(rnn=True)
+    p.add_argument("--rnn_hidden", type=int, default=200)
+    p.add_argument("--rnn_layers", type=int, default=1)
+    p.add_argument("--rnn_dropout", type=float, default=0.5)
+
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--lr_decay", type=float, default=0.9)
+    p.add_argument("--decay_epoch", type=int, default=5)
+    p.add_argument("--optim", default="sgd",
+                   choices=["sgd", "adagrad", "adam", "adamax", "adadelta"])
+    p.add_argument("--num_epoch", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--effective_batch_size", type=int, default=50)
+    p.add_argument("--max_grad_norm", type=float, default=5.0)
+    p.add_argument("--log_step", type=int, default=20)
+    p.add_argument("--log", type=str, default="logs.txt")
+    p.add_argument("--save_epoch", type=int, default=100)
+    p.add_argument("--id", type=str, default="00")
+    p.add_argument("--info", type=str, default="")
+    p.add_argument("--seed", type=int, default=1234)
+
+    p.add_argument("--load", dest="load", action="store_true")
+    p.set_defaults(load=False)
+    p.add_argument("--model_file", type=str,
+                   help="Checkpoint directory to warm-start from.")
+
+    p.add_argument("--adj_type", type=str, default="regular")
+    p.add_argument("--deprel_emb_dim", type=int, default=200)
+    p.add_argument("--deprel_dropout", type=float, default=0.5)
+    p.add_argument("--deprel_self_loop", type=str2bool, default=True)
+    p.add_argument("--deprel_directed", type=str2bool, default=False)
+    p.add_argument("--deprel_shared_w", type=str2bool, default=False)
+    p.add_argument("--use_bert_embeddings", type=str2bool, default=False)
+    p.add_argument("--bert_embeddings_file", type=str, default="")
+    p.add_argument("--emb_dropout", type=float, default=0.0)
+    p.add_argument("--deprel_alpha", type=float, default=1.0)
+    p.add_argument("--edge_keep_prob", type=float, default=1.0)
+    p.add_argument("--deprel_keep_prop", type=float, default=1.0)
+    p.add_argument("--deprel_max_depth", type=int, default=2)
+
+    # TPU-native extras
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend.")
+    p.set_defaults(dataset=dataset)
+    return p
+
+
+def args_to_config(args: argparse.Namespace) -> Config:
+    cfg = Config()
+    m, t, d = cfg.model, cfg.train, cfg.data
+    m.emb_dim = args.emb_dim
+    m.ner_dim = args.ner_dim
+    m.pos_dim = args.pos_dim
+    m.hidden_dim = args.hidden_dim
+    m.num_layers = args.num_layers
+    m.input_dropout = args.input_dropout
+    m.gcn_dropout = args.gcn_dropout
+    m.topn = args.topn
+    m.emb_dropout = args.emb_dropout
+    m.rnn = args.rnn
+    m.rnn_hidden = args.rnn_hidden
+    m.rnn_layers = args.rnn_layers
+    m.rnn_dropout = args.rnn_dropout
+    m.prune_k = args.prune_k
+    m.adj_type = args.adj_type
+    m.deprel_emb_dim = args.deprel_emb_dim
+    m.deprel_dropout = args.deprel_dropout
+    m.deprel_self_loop = args.deprel_self_loop
+    m.deprel_directed = args.deprel_directed
+    m.deprel_shared_w = args.deprel_shared_w
+    m.deprel_alpha = args.deprel_alpha
+    m.edge_keep_prob = args.edge_keep_prob
+    m.deprel_keep_prop = args.deprel_keep_prop
+    m.deprel_max_depth = args.deprel_max_depth
+    m.no_adj = args.no_adj
+    m.pooling = args.pooling
+    m.mlp_layers = args.mlp_layers
+    m.dataset = args.dataset
+    m.use_bert_embeddings = args.use_bert_embeddings
+    m.compute_dtype = args.compute_dtype
+
+    t.lr = args.lr
+    t.lr_decay = args.lr_decay
+    t.decay_epoch = args.decay_epoch
+    t.optim = args.optim
+    t.num_epoch = args.num_epoch
+    t.batch_size = args.batch_size
+    t.effective_batch_size = args.effective_batch_size
+    t.max_grad_norm = args.max_grad_norm
+    t.log_step = args.log_step
+    t.save_epoch = args.save_epoch
+    t.seed = args.seed
+    t.word_dropout = args.word_dropout
+    t.conv_l2 = args.conv_l2
+    t.pooling_l2 = args.pooling_l2
+    t.lower = args.lower
+
+    d.data_dir = args.data_dir
+    d.vocab_dir = args.vocab_dir
+    d.train_file = args.train_file
+
+    cfg.id = args.id
+    cfg.info = args.info
+    cfg.model_save_dir = args.model_save_dir
+    cfg.log = args.log
+    return cfg
+
+
+def maybe_force_cpu(args: argparse.Namespace) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,237 @@
+"""Epoch-loop driver shared by the TACRED and SemEval CLIs.
+
+Reproduces the training policy of the reference drivers
+(``train.py:158-348``, ``train_semeval.py``): per-epoch train/dev/test
+evaluation with the official scorer, best-model tracking (dev-F1 for TACRED;
+train-F1 when no dev split exists, as SemEval does —
+``train_semeval.py:256-262``), per-epoch checkpoints with ``save_epoch``
+retention, plateau LR decay for sgd/adagrad/adadelta, TSV logging, confusion
+matrices and misclassified-example dumps at each new best.
+
+Deliberate fixes over the reference: artifacts are written into the run
+directory (the reference writes misclassified dumps into the *dataset*
+directory, ``train.py:310-319``); checkpoints carry optimizer state; training
+defaults to the full train file (the reference hard-codes the
+``train_0.1.json`` 10% subsample, ``train.py:159``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from datetime import datetime
+from shutil import copytree, rmtree
+
+import numpy as np
+
+from gcn_tpu.config import Config
+from gcn_tpu.data.dataset import Batcher, RelationDataset, constants_for
+from gcn_tpu.data.vocab import Vocab
+from gcn_tpu.train import scorer
+from gcn_tpu.train.logger import FileLogger, ensure_dir, print_config, save_config
+from gcn_tpu.train.trainer import Trainer
+
+
+def load_word_embeddings(cfg: Config, vocab: Vocab):
+    if cfg.model.use_bert_embeddings:
+        return None
+    emb_file = os.path.join(cfg.data.vocab_dir, "embedding.npy")
+    if not os.path.exists(emb_file):
+        print(f"[warn] no embedding matrix at {emb_file}; using random init")
+        return None
+    emb = np.load(emb_file)
+    assert emb.shape[0] == vocab.size, (emb.shape, vocab.size)
+    assert emb.shape[1] == cfg.model.emb_dim, (emb.shape, cfg.model.emb_dim)
+    return emb
+
+
+def run_training(
+    cfg: Config,
+    bert_embeddings: dict | None = None,
+    load_from: str | None = None,
+) -> dict:
+    C = constants_for(cfg.model.dataset)
+    np.random.seed(cfg.train.seed)
+
+    vocab = Vocab.load(os.path.join(cfg.data.vocab_dir, "vocab.pkl"))
+    cfg.model.vocab_size = vocab.size
+    cfg.model.num_class = len(C.LABEL_TO_ID)
+    emb_matrix = load_word_embeddings(cfg, vocab)
+    if cfg.model.use_bert_embeddings:
+        cfg.model.emb_dim = 1024  # reference train.py:143-144
+
+    data_dir = cfg.data.data_dir
+    print(f"Loading data from {data_dir} with batch size "
+          f"{cfg.train.batch_size}...")
+    train_ds = RelationDataset(
+        os.path.join(data_dir, cfg.data.train_file), cfg, vocab,
+        bert_embeddings=bert_embeddings,
+    )
+    dev_path = os.path.join(data_dir, cfg.data.dev_file)
+    dev_ds = (
+        RelationDataset(dev_path, cfg, vocab, evaluation=True,
+                        bert_embeddings=bert_embeddings)
+        if os.path.exists(dev_path)
+        else None
+    )
+    test_ds = RelationDataset(
+        os.path.join(data_dir, cfg.data.test_file), cfg, vocab,
+        evaluation=True, bert_embeddings=bert_embeddings,
+    )
+
+    bs = cfg.train.batch_size
+    train_batcher = Batcher(train_ds, bs, seed=cfg.train.seed)
+    train_eval_batcher = Batcher(train_ds, bs, evaluation=True)
+    dev_batcher = Batcher(dev_ds, bs, evaluation=True) if dev_ds else None
+    test_batcher = Batcher(test_ds, bs, evaluation=True)
+
+    model_id = cfg.id if len(cfg.id) > 1 else "0" + cfg.id
+    run_dir = os.path.join(cfg.model_save_dir, model_id)
+    ensure_dir(run_dir)
+    cfg.save(os.path.join(run_dir, "config.json"))
+    vocab.save(os.path.join(run_dir, "vocab.pkl"))
+    file_logger = FileLogger(
+        os.path.join(run_dir, cfg.log),
+        header="# epoch\ttrain_loss\tdev_loss\tdev_score\tbest_dev_score",
+    )
+    print_config(cfg.to_dict())
+
+    trainer = Trainer(cfg, emb_matrix=emb_matrix)
+    if load_from:
+        # warm start (reference train.py:186-195); optimizer state is
+        # restored too (the reference resets it)
+        meta = trainer.load(load_from)
+        print(f"Loaded pretrained model from {load_from} "
+              f"(epoch {meta.get('epoch')})")
+    id2label = {v: k for k, v in C.LABEL_TO_ID.items()}
+    neg = C.NEGATIVE_LABEL
+
+    selection_history: list[float] = []
+    best_metrics = {"f1": -np.inf, "precision": -np.inf, "recall": -np.inf}
+    test_at_best = dict(best_metrics)
+    current_lr = cfg.train.lr
+    global_step = 0
+    max_steps = len(train_batcher) * cfg.train.num_epoch
+    fmt = ("{}: step {}/{} (epoch {}/{}), loss = {:.6f} "
+           "({:.3f} sec/batch), lr: {:.6f}")
+
+    def run_eval(batcher):
+        preds, _, loss = trainer.evaluate(batcher)
+        labels = [id2label[p] for p in preds]
+        p, r, f1 = scorer.score(batcher.gold(), labels, negative_label=neg)
+        return labels, loss, {"f1": f1, "precision": p, "recall": r}
+
+    for epoch in range(1, cfg.train.num_epoch + 1):
+        train_loss = 0.0
+        for i, batch in enumerate(train_batcher):
+            start = time.time()
+            global_step += 1
+            loss = trainer.update(batch)
+            train_loss += loss
+            if global_step % cfg.train.log_step == 0:
+                print(fmt.format(
+                    datetime.now(), global_step, max_steps, epoch,
+                    cfg.train.num_epoch, loss, time.time() - start,
+                    current_lr,
+                ))
+        trainer.flush_gradients()
+
+        # deprel embedding snapshot (reference train.py:239-241)
+        with open(os.path.join(run_dir, "deprel_embs.pkl"), "wb") as f:
+            pickle.dump(
+                np.asarray(trainer.params["params"]["deprel_emb"]), f
+            )
+
+        print("Evaluating on train set...")
+        train_labels, train_eval_loss, train_m = run_eval(train_eval_batcher)
+        print(f"epoch {epoch}: train_loss = {train_loss:.6f}, "
+              f"train_eval_loss = {train_eval_loss:.6f}, "
+              f"train_f1 = {train_m['f1']:.4f}")
+
+        if dev_batcher is not None:
+            print("Evaluating on dev set...")
+            dev_labels, dev_loss, dev_m = run_eval(dev_batcher)
+            print(f"epoch {epoch}: dev_loss = {dev_loss:.6f}, "
+                  f"dev_f1 = {dev_m['f1']:.4f}")
+        else:
+            # SemEval: select on train F1 (train_semeval.py:256-262)
+            dev_labels, dev_loss, dev_m = train_labels, train_eval_loss, train_m
+
+        selection_score = dev_m["f1"]
+        file_logger.log(
+            f"{epoch}\t{train_loss:.6f}\t{dev_loss:.6f}\t"
+            f"{selection_score:.4f}\t"
+            f"{max([selection_score] + selection_history):.4f}"
+        )
+
+        print("Evaluating on test set...")
+        test_labels, _, test_m = run_eval(test_batcher)
+
+        new_best = dev_m["f1"] > best_metrics["f1"]
+        if new_best:
+            best_metrics = dev_m
+            test_at_best = test_m
+            trainer.save(os.path.join(run_dir, "best_model"), epoch=epoch)
+            print("new best model saved.")
+            file_logger.log(
+                "new best model saved at epoch {}: {:.2f}\t{:.2f}\t{:.2f}"
+                .format(epoch, test_m["precision"] * 100,
+                        test_m["recall"] * 100, test_m["f1"] * 100)
+            )
+            # confusion matrices + misclassified dumps (train.py:296-319,
+            # written into the run dir rather than the dataset dir)
+            for split, labels, batcher, ds in (
+                ("test", test_labels, test_batcher, test_ds),
+                ("dev", dev_labels, dev_batcher, dev_ds),
+            ):
+                if batcher is None:
+                    continue
+                gold = np.array(batcher.gold())
+                pred = np.array(labels)
+                cm = scorer.compute_confusion_matrices(gold, pred)
+                with open(os.path.join(
+                        run_dir, f"{split}_confusion_matrix.pkl"), "wb") as f:
+                    pickle.dump(cm, f)
+                wrong = [
+                    ds.raw_data[batcher.order[i]]
+                    for i in np.nonzero(pred != gold)[0]
+                ]
+                import json as _json
+
+                with open(os.path.join(
+                        run_dir, f"{split}_incorrect_data.json"), "w") as f:
+                    _json.dump(wrong, f)
+
+        print("Best Dev Metrics | F1: {} | Precision: {} | Recall: {}".format(
+            best_metrics["f1"], best_metrics["precision"],
+            best_metrics["recall"]))
+        print("Test Metrics at Best Dev | F1: {} | Precision: {} | "
+              "Recall: {}".format(test_at_best["f1"],
+                                  test_at_best["precision"],
+                                  test_at_best["recall"]))
+
+        # epoch checkpoint + retention (train.py:329-337)
+        ckpt_dir = os.path.join(run_dir, f"checkpoint_epoch_{epoch}")
+        trainer.save(ckpt_dir, epoch=epoch)
+        if epoch % cfg.train.save_epoch != 0:
+            rmtree(ckpt_dir)
+
+        # plateau LR decay (train.py:340-343)
+        if (
+            len(selection_history) > cfg.train.decay_epoch
+            and selection_score <= selection_history[-1]
+            and cfg.train.optim in ("sgd", "adagrad", "adadelta")
+        ):
+            current_lr *= cfg.train.lr_decay
+            trainer.update_lr(current_lr)
+
+        selection_history.append(selection_score)
+        print("")
+
+    print(f"Training ended with {cfg.train.num_epoch} epochs.")
+    return {
+        "best_dev": best_metrics,
+        "test_at_best_dev": test_at_best,
+        "run_dir": run_dir,
+    }

@@ -1,0 +1,236 @@
+"""Trainer: jitted update/predict with gradient accumulation, checkpoint IO.
+
+Capability-parity with the reference ``GCNTrainer`` (``model/trainer.py``)
+plus the driver-side optimization logic that lives in ``train.py:209-237``
+(gradient accumulation to an effective batch, clip-then-step every
+``update_gap`` batches, leftover flush).  Differences by design:
+
+* the whole step (forward + backward + penalties) is one jitted program,
+* accumulated gradients are summed on device (the reference sums them in the
+  autograd buffers between ``optimizer.step()`` calls),
+* checkpoints carry optimizer state (the reference drops it —
+  ``model/trainer.py:40-49``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gcn_tpu.config import Config
+from gcn_tpu.models.gcn import GCNClassifier
+from gcn_tpu.train import checkpoint as ckpt
+from gcn_tpu.train.optim import build_optimizer, set_learning_rate
+
+
+def _dummy_batch(cfg: Config, use_bert: bool = False) -> dict:
+    b, n = 2, 16
+    batch = {
+        "pos": np.ones((b, n), np.int32),
+        "deprel": np.ones((b, n), np.int32),
+        "subj_mask": np.eye(b, n, dtype=bool),
+        "obj_mask": np.eye(b, n, 2, dtype=bool),
+        "pad_mask": np.zeros((b, n), bool),
+        "lengths": np.full((b,), n, np.int32),
+        "labels": np.zeros((b,), np.int32),
+        "example_mask": np.ones((b,), bool),
+        "edge_parent": np.zeros((b, n), np.int32),
+        "edge_child": np.ones((b, n), np.int32),
+        "edge_deprel": np.ones((b, n), np.int32),
+        "edge_mask": np.ones((b, n), bool),
+    }
+    if use_bert:
+        batch["words"] = np.zeros((b, n, cfg.model.emb_dim), np.float32)
+    else:
+        batch["words"] = np.ones((b, n), np.int32)
+    if cfg.model.dataset == "tacred":
+        batch["ner"] = np.ones((b, n), np.int32)
+    return batch
+
+
+def conv_l2_penalty(params: dict, adj_type: str) -> jax.Array:
+    """Σ‖W‖² over GCN layer weights (reference ``conv_l2``,
+    ``model/gcn.py:180-184`` — defined for the ModuleList modes; extended
+    here to the deprel bilinear weights for completeness)."""
+    total = jnp.zeros(())
+    for name, value in params["params"].items():
+        if name.startswith("gcn_w") or name.startswith("gcn_deprel_"):
+            leaves = (
+                value.values() if isinstance(value, dict) else [value]
+            )
+            for leaf in leaves:
+                total = total + jnp.sum(jnp.square(leaf))
+    return total
+
+
+class Trainer:
+    """Holds (model, params, opt_state) and drives jitted steps."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        emb_matrix: Optional[np.ndarray] = None,
+        rng_seed: Optional[int] = None,
+        init_batch: Optional[dict] = None,
+    ):
+        self.cfg = cfg
+        self.model = GCNClassifier(cfg.model)
+        seed = cfg.train.seed if rng_seed is None else rng_seed
+        key = jax.random.key(seed)
+        key, p_key, d_key, self._key = jax.random.split(key, 4)
+        batch = init_batch or _dummy_batch(cfg)
+        self.params = self.model.init(
+            {"params": p_key, "dropout": d_key}, batch, True
+        )
+        if emb_matrix is not None:
+            assert emb_matrix.shape == self.params["params"]["word_emb"].shape, (
+                f"embedding matrix {emb_matrix.shape} vs vocab "
+                f"{self.params['params']['word_emb'].shape}"
+            )
+            self.params = jax.tree.map(lambda x: x, self.params)  # copy tree
+            self.params["params"]["word_emb"] = jnp.asarray(
+                emb_matrix, jnp.float32
+            )
+        self.tx = build_optimizer(
+            cfg.train.optim,
+            cfg.train.lr,
+            max_grad_norm=cfg.train.max_grad_norm,
+            topn=cfg.model.topn,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.current_lr = cfg.train.lr
+        self._accum = None
+        self._accum_count = 0
+        self.global_step = 0
+
+    # ------------------------------------------------------------ jit steps
+    @partial(jax.jit, static_argnums=0)
+    def _loss_and_grads(self, params, batch, key):
+        def loss_fn(p):
+            logits, pooled = self.model.apply(
+                p, batch, False, rngs={"dropout": key}
+            )
+            em = batch["example_mask"].astype(jnp.float32)
+            denom = jnp.maximum(em.sum(), 1.0)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["labels"]
+            )
+            loss = (ce * em).sum() / denom
+            if self.cfg.train.conv_l2 > 0:
+                loss = loss + self.cfg.train.conv_l2 * conv_l2_penalty(
+                    p, self.cfg.model.adj_type
+                )
+            if self.cfg.train.pooling_l2 > 0:
+                pen = (jnp.square(pooled).sum(1) * em).sum() / denom
+                loss = loss + self.cfg.train.pooling_l2 * pen
+            return loss
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    @partial(jax.jit, static_argnums=0)
+    def _apply_grads(self, params, opt_state, grads):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    @partial(jax.jit, static_argnums=0)
+    def _forward_eval(self, params, batch):
+        logits, _ = self.model.apply(params, batch, True)
+        em = batch["example_mask"].astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["labels"]
+        )
+        loss = (ce * em).sum() / jnp.maximum(em.sum(), 1.0)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return probs, loss
+
+    # -------------------------------------------------------------- updates
+    def update(self, batch: dict) -> float:
+        """Forward+backward; steps the optimizer every ``update_gap``
+        accumulated batches (reference ``train.py:209-227``)."""
+        self._key, sub = jax.random.split(self._key)
+        loss, grads = self._loss_and_grads(self.params, batch, sub)
+        if self._accum is None:
+            self._accum = grads
+        else:
+            self._accum = jax.tree.map(jnp.add, self._accum, grads)
+        self._accum_count += 1
+        self.global_step += 1
+        if self._accum_count >= self.cfg.train.update_gap:
+            self.flush_gradients()
+        return float(loss)
+
+    def flush_gradients(self) -> None:
+        """Apply any pending accumulated gradients
+        (reference ``train.py:235-237`` end-of-epoch flush)."""
+        if self._accum is None or self._accum_count == 0:
+            return
+        self.params, self.opt_state = self._apply_grads(
+            self.params, self.opt_state, self._accum
+        )
+        self._accum = None
+        self._accum_count = 0
+
+    def predict_batch(self, batch: dict):
+        """Eval-mode predictions for the VALID rows of one padded batch.
+        Returns (predictions list[int], probs list[list[float]], loss)."""
+        probs, loss = self._forward_eval(self.params, batch)
+        probs = np.asarray(probs)
+        mask = np.asarray(batch["example_mask"])
+        preds = probs.argmax(axis=1)
+        return (
+            preds[mask].tolist(),
+            probs[mask].tolist(),
+            float(loss),
+        )
+
+    def evaluate(self, batches: Iterable[dict]):
+        """Predict over an iterable of batches → (preds, probs, avg_loss)
+        where avg_loss follows the reference normalization
+        (Σ batch_loss / num_examples × batch_size, ``train.py:252``)."""
+        all_preds: list[int] = []
+        all_probs: list[list[float]] = []
+        total_loss = 0.0
+        n = 0
+        for batch in batches:
+            preds, probs, loss = self.predict_batch(batch)
+            all_preds.extend(preds)
+            all_probs.extend(probs)
+            total_loss += loss
+            n += len(preds)
+        avg = total_loss / max(n, 1) * self.cfg.train.batch_size
+        return all_preds, all_probs, avg
+
+    # ------------------------------------------------------------------- lr
+    def update_lr(self, new_lr: float) -> None:
+        self.opt_state = set_learning_rate(self.opt_state, new_lr)
+        self.current_lr = new_lr
+
+    # ------------------------------------------------------------------- IO
+    def save(self, directory: str, epoch: Optional[int] = None) -> None:
+        ckpt.save_checkpoint(
+            directory,
+            self.params,
+            self.opt_state,
+            config=self.cfg.to_dict(),
+            meta={"epoch": epoch, "global_step": self.global_step,
+                  "current_lr": self.current_lr},
+        )
+
+    def load(self, directory: str, load_opt_state: bool = True) -> dict:
+        params, opt_state, blob = ckpt.load_checkpoint(
+            directory, self.params,
+            self.opt_state if load_opt_state else None,
+        )
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        meta = blob.get("meta", {})
+        if meta.get("current_lr") is not None:
+            self.update_lr(float(meta["current_lr"]))
+        return meta

@@ -1,0 +1,147 @@
+"""Trainer end-to-end on the sample TACRED data: loss decreases,
+checkpoint round-trips, gradient accumulation matches big-batch SGD."""
+
+import collections
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gcn_tpu.config import Config, gcn_preset
+from gcn_tpu.data.dataset import Batcher, RelationDataset
+from gcn_tpu.data.vocab import Vocab
+from gcn_tpu.train.trainer import Trainer
+
+SAMPLE = "/root/reference/dataset/tacred"
+
+
+def sample_vocab() -> Vocab:
+    toks: collections.Counter = collections.Counter()
+    for split in ("train", "dev", "test"):
+        with open(f"{SAMPLE}/{split}.json") as f:
+            for ex in json.load(f):
+                t = list(ex["token"])
+                ss, se = ex["subj_start"], ex["subj_end"]
+                os_, oe = ex["obj_start"], ex["obj_end"]
+                t[ss : se + 1] = ["SUBJ-" + ex["subj_type"]] * (se - ss + 1)
+                t[os_ : oe + 1] = ["OBJ-" + ex["obj_type"]] * (oe - os_ + 1)
+                toks.update(t)
+    return Vocab.from_counter(toks)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    cfg = gcn_preset()
+    cfg.model.emb_dim = 32
+    cfg.model.hidden_dim = 32
+    cfg.model.pos_dim = 8
+    cfg.model.ner_dim = 8
+    cfg.train.batch_size = 10
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def data(small_cfg):
+    vocab = sample_vocab()
+    small_cfg.model.vocab_size = vocab.size
+    ds = RelationDataset(f"{SAMPLE}/train.json", small_cfg, vocab)
+    return vocab, ds
+
+
+def test_training_reduces_loss(small_cfg, data):
+    vocab, ds = data
+    trainer = Trainer(small_cfg)
+    batcher = Batcher(ds, small_cfg.train.batch_size, seed=0)
+    first, last = None, None
+    for _ in range(6):
+        for batch in batcher:
+            last = trainer.update(batch)
+            if first is None:
+                first = last
+        trainer.flush_gradients()
+    assert last < first * 0.5, (first, last)
+
+
+def test_predict_shapes(small_cfg, data):
+    vocab, ds = data
+    trainer = Trainer(small_cfg)
+    batcher = Batcher(ds, 7, evaluation=True)
+    preds, probs, loss = trainer.evaluate(batcher)
+    assert len(preds) == len(ds) == len(batcher.gold())
+    assert len(probs[0]) == small_cfg.model.num_class
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_roundtrip(small_cfg, data, tmp_path):
+    vocab, ds = data
+    trainer = Trainer(small_cfg)
+    batcher = Batcher(ds, 10, seed=0)
+    for batch in batcher:
+        trainer.update(batch)
+    preds1, _, loss1 = trainer.evaluate(Batcher(ds, 10, evaluation=True))
+    d = str(tmp_path / "ckpt")
+    trainer.save(d, epoch=1)
+
+    trainer2 = Trainer(small_cfg, rng_seed=999)
+    meta = trainer2.load(d)
+    assert meta["epoch"] == 1
+    preds2, _, loss2 = trainer2.evaluate(Batcher(ds, 10, evaluation=True))
+    assert preds1 == preds2
+    assert abs(loss1 - loss2) < 1e-6
+
+
+def test_update_lr_persisted(small_cfg, tmp_path):
+    trainer = Trainer(small_cfg)
+    trainer.update_lr(0.01)
+    d = str(tmp_path / "ckpt2")
+    trainer.save(d, epoch=3)
+    trainer2 = Trainer(small_cfg, rng_seed=1)
+    trainer2.load(d)
+    assert abs(trainer2.current_lr - 0.01) < 1e-9
+
+
+def test_gradient_accumulation_equivalence(data):
+    """update_gap=2 with batch 5 must equal one step on the merged batch 10
+    (SGD, single step)."""
+    vocab, ds = data
+    cfg_small = gcn_preset()
+    cfg_small.model.emb_dim = 16
+    cfg_small.model.hidden_dim = 16
+    cfg_small.model.pos_dim = 4
+    cfg_small.model.ner_dim = 4
+    cfg_small.model.vocab_size = vocab.size
+    cfg_small.model.input_dropout = 0.0
+    cfg_small.model.gcn_dropout = 0.0
+    cfg_small.train.word_dropout = 0.0
+    cfg_small.train.batch_size = 5
+    cfg_small.train.effective_batch_size = 10
+    assert cfg_small.train.update_gap == 2
+
+    t1 = Trainer(cfg_small, rng_seed=0)
+    b5 = Batcher(ds, 5, evaluation=True, pad_batches=False)
+    batches5 = [b5.materialize(c) for c in b5.chunks[:2]]
+    for b in batches5:
+        t1.update(b)
+
+    cfg_big = Config.from_dict(cfg_small.to_dict())
+    cfg_big.train.batch_size = 10
+    cfg_big.train.effective_batch_size = 10
+    t2 = Trainer(cfg_big, rng_seed=0)
+    b10 = Batcher(ds, 10, evaluation=True, pad_batches=False)
+    t2.update(b10.materialize(b10.chunks[0]))
+
+    # Note: summed half-batch grads = 2× the mean-loss grad of the merged
+    # batch, so accumulated-vs-merged differ by that factor under plain
+    # mean-CE — exactly as in the reference (losses are NOT divided by
+    # update_gap, train.py:220-227).  Check the direction matches instead.
+    g1 = np.asarray(t1.params["params"]["mlp0"]["kernel"])
+    g2 = np.asarray(t2.params["params"]["mlp0"]["kernel"])
+    init = np.asarray(
+        Trainer(cfg_big, rng_seed=0).params["params"]["mlp0"]["kernel"]
+    )
+    d1, d2 = g1 - init, g2 - init
+    cos = (d1 * d2).sum() / (
+        np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12
+    )
+    assert cos > 0.99, cos

@@ -1,0 +1,132 @@
+"""Generate a small synthetic dataset in TACRED/SemEval JSON schema.
+
+Produces deterministic random sentences with valid dependency trees, tag
+sequences drawn from the real tag inventories, and a matching vocab +
+random embedding matrix — enough to smoke-run the full train/eval CLIs
+without the LDC-licensed TACRED corpus.  Schema matches
+``/root/reference/dataset/tacred/README.md``.
+
+    python tools/make_sample_data.py [--out dataset] [--n 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gcn_tpu import constants, constants_semeval  # noqa: E402
+
+WORDS = (
+    "the a an quick brown fox jumps over lazy dog company president said "
+    "yesterday that new york city mayor was born in spring field his her "
+    "their chief executive officer founded subsidiary organization church "
+    "school reported married died age years old spokesman announced today"
+).split()
+
+
+def random_tree(rng: np.random.RandomState, n: int) -> list[int]:
+    """Random labeled tree as a 1-indexed head array with one root."""
+    root = rng.randint(n)
+    head = [0] * n
+    attached = {root}
+    order = [i for i in range(n) if i != root]
+    rng.shuffle(order)
+    for i in order:
+        parent = list(attached)[rng.randint(len(attached))]
+        head[i] = parent + 1
+        attached.add(i)
+    return head
+
+
+def make_example(rng, i, dataset="tacred"):
+    C = constants if dataset == "tacred" else constants_semeval
+    n = rng.randint(8, 40)
+    tokens = [WORDS[rng.randint(len(WORDS))] for _ in range(n)]
+    head = random_tree(rng, n)
+    pos_tags = [t for t in list(C.POS_TO_ID)[2:]]
+    dep_tags = [t for t in list(constants.DEPREL_TO_ID)[2:42]]
+    ner_tags = [t for t in list(constants.NER_TO_ID)[2:]]
+    pos = [pos_tags[rng.randint(len(pos_tags))] for _ in range(n)]
+    deprel = [dep_tags[rng.randint(len(dep_tags))] for _ in range(n)]
+    ner = [ner_tags[rng.randint(len(ner_tags))] for _ in range(n)]
+    ss = rng.randint(n - 2)
+    se = min(n - 1, ss + rng.randint(1, 3))
+    while True:
+        os_ = rng.randint(n - 1)
+        oe = min(n - 1, os_ + rng.randint(1, 2))
+        if oe < ss or os_ > se:
+            break
+    labels = list(
+        (constants if dataset == "tacred" else constants_semeval)
+        .LABEL_TO_ID
+    )
+    ex = {
+        "id": f"synthetic-{dataset}-{i:04d}",
+        "relation": labels[rng.randint(len(labels))],
+        "token": tokens,
+        "subj_start": ss,
+        "subj_end": se,
+        "obj_start": os_,
+        "obj_end": oe,
+        "subj_type": "PERSON" if rng.rand() < 0.5 else "ORGANIZATION",
+        "obj_type": list(constants.OBJ_NER_TO_ID)[
+            2 + rng.randint(len(constants.OBJ_NER_TO_ID) - 2)
+        ],
+        "stanford_pos": pos,
+        "stanford_ner": ner,
+        "stanford_head": [str(h) for h in head],
+        "stanford_deprel": deprel,
+    }
+    return ex
+
+
+def entity_masks():
+    subj = list(constants.SUBJ_NER_TO_ID.keys())[2:]
+    obj = list(constants.OBJ_NER_TO_ID.keys())[2:]
+    return ["SUBJ-" + e for e in subj] + ["OBJ-" + e for e in obj]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="dataset")
+    p.add_argument("--n", type=int, default=40)
+    p.add_argument("--emb_dim", type=int, default=300)
+    args = p.parse_args()
+    rng = np.random.RandomState(1234)
+
+    for dataset, subdir in (("tacred", "tacred"), ("semeval", "semeval")):
+        d = os.path.join(args.out, subdir)
+        os.makedirs(d, exist_ok=True)
+        splits = (
+            ("train", args.n), ("dev", args.n // 2), ("test", args.n // 2)
+        )
+        if dataset == "semeval":
+            splits = (("train", args.n), ("test", args.n // 2))
+        for split, count in splits:
+            exs = [make_example(rng, i, dataset) for i in range(count)]
+            with open(os.path.join(d, f"{split}.json"), "w") as f:
+                json.dump(exs, f)
+        print(f"{dataset}: wrote {[s for s, _ in splits]} to {d}")
+
+    # vocab + random embeddings covering the synthetic corpus
+    vocab = constants.VOCAB_PREFIX + entity_masks() + sorted(WORDS)
+    for name in ("vocab", "vocab_semeval"):
+        vd = os.path.join(args.out, name)
+        os.makedirs(vd, exist_ok=True)
+        with open(os.path.join(vd, "vocab.pkl"), "wb") as f:
+            pickle.dump(vocab, f)
+        emb = rng.uniform(-1, 1, (len(vocab), args.emb_dim))
+        emb[0] = 0.0
+        np.save(os.path.join(vd, "embedding.npy"), emb)
+    print(f"vocab: {len(vocab)} words, emb dim {args.emb_dim}")
+
+
+if __name__ == "__main__":
+    main()
