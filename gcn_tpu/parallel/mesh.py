@@ -1,0 +1,88 @@
+"""Device-mesh construction and sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2b); every capability
+here is new, TPU-native surface:
+
+* ``data`` axis — batch (data parallelism) over ICI,
+* ``model`` axis — tensor/graph parallelism: vocabulary-sharded word
+  embeddings, hidden-sharded deprel bilinear weights, and edge-sharded
+  aggregation (the GNN analog of sequence parallelism: graph partitioning
+  with boundary exchange, SURVEY.md §5).
+
+Shardings are expressed as ``NamedSharding`` + PartitionSpec and handed to
+``jax.jit`` — XLA GSPMD inserts the collectives (psum/all-gather) over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data × model) mesh.  ``data=None`` uses all remaining
+    devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """Shard every batch array along its leading (batch) axis on ``data``.
+
+    Edge arrays could alternatively shard their edge axis on ``model`` for
+    pure graph partitioning; the replicated-batch variant lives in
+    ``edge_partition.py``.
+    """
+    spec = {}
+    for k, v in batch.items():
+        ndim = np.ndim(v)
+        spec[k] = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    return spec
+
+
+def param_shardings(mesh: Mesh, params: dict) -> dict:
+    """Model-parallel placement for the large tables; everything else
+    replicated.
+
+    * word embedding [V, D] → vocab-sharded on ``model`` (the embedding-
+      parallel analog of expert sharding; lookups become a gather + psum
+      inserted by GSPMD),
+    * full_deprel bilinear weights [D, T, H] → output-hidden sharded
+      (tensor parallelism: each device computes a slice of H),
+    * classifier / MLP kernels [in, out] → output sharded.
+    """
+
+    def rule(path, leaf):
+        keys = [getattr(k, "key", "") for k in path]
+        name = next((k for k in keys if k), "")
+        joined = "/".join(str(k) for k in keys)
+        nd = np.ndim(leaf)
+        if "word_emb" in joined and nd == 2:
+            return NamedSharding(mesh, P("model", None))
+        if "gcn_deprel_w" in joined and nd == 3:
+            return NamedSharding(mesh, P(None, None, "model"))
+        if ("mlp" in joined or "classifier" in joined) and nd == 2:
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P(*([None] * nd)))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def replicated(mesh: Mesh, tree):
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, P(*([None] * np.ndim(leaf)))),
+        tree,
+    )

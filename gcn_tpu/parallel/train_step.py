@@ -1,0 +1,82 @@
+"""Sharded training step: DP over ``data`` × TP/EP over ``model``.
+
+Builds one jitted SPMD program for the full train step (forward, backward,
+clip, optimizer update) with explicit input/output shardings; XLA GSPMD
+lowers the cross-device math to ICI collectives.  This is the multi-chip
+path the reference never had (single device only, SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from gcn_tpu.config import Config
+from gcn_tpu.models.gcn import GCNClassifier
+from gcn_tpu.parallel.mesh import batch_shardings, param_shardings, replicated
+from gcn_tpu.train.trainer import conv_l2_penalty
+
+
+def make_loss_fn(model: GCNClassifier, cfg: Config) -> Callable:
+    def loss_fn(params, batch, key):
+        logits, pooled = model.apply(
+            params, batch, False, rngs={"dropout": key}
+        )
+        em = batch["example_mask"].astype(jnp.float32)
+        denom = jnp.maximum(em.sum(), 1.0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["labels"]
+        )
+        loss = (ce * em).sum() / denom
+        if cfg.train.conv_l2 > 0:
+            loss = loss + cfg.train.conv_l2 * conv_l2_penalty(
+                params, cfg.model.adj_type
+            )
+        if cfg.train.pooling_l2 > 0:
+            loss = loss + cfg.train.pooling_l2 * (
+                (jnp.square(pooled).sum(1) * em).sum() / denom
+            )
+        return loss
+
+    return loss_fn
+
+
+def make_sharded_train_step(
+    model: GCNClassifier,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    mesh: Mesh,
+    params: Any,
+    opt_state: Any,
+    example_batch: dict,
+):
+    """Returns (train_step, placed_params, placed_opt_state, batch_spec).
+
+    ``train_step(params, opt_state, batch, key) -> (params, opt_state, loss)``
+    is donated+jitted with explicit shardings: batch over ``data``, large
+    tables over ``model`` (see ``mesh.param_shardings``).
+    """
+    loss_fn = make_loss_fn(model, cfg)
+    p_shard = param_shardings(mesh, params)
+    o_shard = replicated(mesh, opt_state)
+    b_shard = batch_shardings(mesh, example_batch)
+
+    placed_params = jax.device_put(params, p_shard)
+    placed_opt = jax.device_put(opt_state, o_shard)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def run(params, opt_state, batch, key):
+        batch = jax.device_put(batch, b_shard)
+        return train_step(params, opt_state, batch, key)
+
+    return run, placed_params, placed_opt, b_shard
