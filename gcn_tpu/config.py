@@ -77,6 +77,9 @@ class ModelConfig:
     # TPU-native: matmul compute dtype ("bfloat16" or "float32").
     # Params and accumulations stay float32 either way.
     compute_dtype: str = "float32"
+    # Use the fused Pallas edge-list SpMM kernel for regular-mode GCN
+    # layers (adjacency built in VMEM, never materialized in HBM).
+    use_pallas: bool = False
 
     @property
     def input_dim(self) -> int:

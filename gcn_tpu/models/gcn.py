@@ -168,10 +168,27 @@ class GCNClassifier(nn.Module):
         n = words.shape[1]
         use_bert = words.ndim == 3
 
-        adj = build_adjacency(
-            batch["edge_parent"], batch["edge_child"], batch["edge_mask"],
-            n, dtype=dtype,
+        # Fused Pallas path: adjacency lives only in VMEM inside the kernel
+        # (gcn_tpu.ops.pallas.spmm_fused); pooling masks come from cheap
+        # edge-list degree counts instead of the dense matrix.
+        use_fused = (
+            cfg.use_pallas and cfg.adj_type == "regular" and not cfg.no_adj
         )
+        if use_fused:
+            from gcn_tpu.ops.spmm import node_degrees
+
+            _, _, incident = node_degrees(
+                batch["edge_parent"], batch["edge_child"],
+                batch["edge_mask"], n,
+            )
+            adj = None
+            pool_exclude = ~incident
+        else:
+            adj = build_adjacency(
+                batch["edge_parent"], batch["edge_child"],
+                batch["edge_mask"], n, dtype=dtype,
+            )
+            pool_exclude = adj.pool_mask
 
         def rng():
             return self.make_rng("dropout")
@@ -236,7 +253,7 @@ class GCNClassifier(nn.Module):
             (len(constants.DEPREL_TO_ID), self.deprel_side),
         ).astype(dtype)
         deprel = batch["deprel"]
-        denom = adj.denom.astype(dtype)
+        denom = None if adj is None else adj.denom.astype(dtype)
 
         deprel_ws = None
         if cfg.adj_type == "full_deprel":
@@ -275,6 +292,18 @@ class GCNClassifier(nn.Module):
                                (t_in, cfg.hidden_dim)).astype(dtype)
                 b = self.param(f"gcn_w{l}_bias", _uniform(bound),
                                (cfg.hidden_dim,)).astype(dtype)
+                if use_fused:
+                    from gcn_tpu.ops.pallas.spmm_fused import fused_gcn_spmm
+
+                    # kernel fuses aggregation + denom + ReLU
+                    h = fused_gcn_spmm(
+                        batch["edge_parent"], batch["edge_child"],
+                        batch["edge_mask"], h, w, b,
+                    )
+                    if l < cfg.num_layers - 1:
+                        h = dropout(rng() if not deterministic else None, h,
+                                    cfg.gcn_dropout, deterministic)
+                    continue
                 axw = regular_layer(h, adj.combined, w, b,
                                     no_adj=cfg.no_adj)
             elif cfg.adj_type == "diagonal_deprel":
@@ -303,7 +332,7 @@ class GCNClassifier(nn.Module):
 
         # ------------------------------------------------------------ pooling
         kind = cfg.pooling
-        h_out = pool(h, adj.pool_mask, kind)
+        h_out = pool(h, pool_exclude, kind)
         subj_out = pool(h, ~batch["subj_mask"], kind)
         obj_out = pool(h, ~batch["obj_mask"], kind)
         out = jnp.concatenate([h_out, subj_out, obj_out], axis=1)

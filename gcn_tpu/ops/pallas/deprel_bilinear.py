@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: fused deprel-conditioned bilinear transform.
+
+Computes, for flattened tokens m = (b, n):
+
+    out[m, h] = Σ_d e[m, d] · ( x[m, :] @ W[d, :, :] )[h]     (+ e @ bias)
+
+This is the ``full_deprel`` hot path (reference ``traverse_deprel``,
+``model/gcn.py:400-415``).  The reference materializes the rank-4 outer
+product ``[B,N,D,T]`` (``model/gcn.py:410``); XLA's einsum contracts it as
+one ``[M, D·T] × [D·T, H]`` matmul, which is HBM-bound on the ``z = e ⊗ x``
+intermediate (M·D·T floats written + read per layer).
+
+The kernel never materializes the intermediate: the grid iterates
+(m-tile, d) with the output block resident in VMEM across the inner d loop,
+accumulating ``e[:, d] · (x_tile @ W[d])``.  H is small (≤ 256) so it is a
+single block; W[d] slices stream through VMEM.  The (tiny) bias term
+``e @ bias`` is left to XLA outside the kernel.
+
+Backward is a custom VJP with the same no-materialization property:
+a ``lax.scan`` over d of plain MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, e_ref, w_ref, out_ref):
+    d = pl.program_id(1)
+
+    @pl.when(d == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xw = jnp.dot(
+        x_ref[:], w_ref[0], preferred_element_type=jnp.float32
+    )  # [TM, H]
+    # column-select e[:, d] via a lane mask (unaligned dynamic lane slices
+    # are not supported by Mosaic)
+    e = e_ref[:].astype(jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    e_col = jnp.sum(
+        jnp.where(col_ids == d, e, 0.0), axis=1, keepdims=True
+    )  # [TM, 1]
+    out_ref[:] += (e_col * xw).astype(out_ref.dtype)
+
+
+def _core_forward(x, e, w, *, tile_m: int, interpret: bool):
+    m, t = x.shape
+    d_dim, _, h = w.shape
+    grid = (pl.cdiv(m, tile_m), d_dim)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((m, h), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, t), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d_dim), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, h), lambda i, d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, h), lambda i, d: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * t * h * d_dim,
+            bytes_accessed=(
+                x.size * 4 + w.size * 4 * pl.cdiv(m, tile_m) + m * h * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, e, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _core(x, e, w, tile_m, interpret):
+    return _core_forward(x, e, w, tile_m=tile_m, interpret=interpret)
+
+
+def _core_fwd(x, e, w, tile_m, interpret):
+    return _core_forward(x, e, w, tile_m=tile_m, interpret=interpret), (
+        x, e, w,
+    )
+
+
+def _core_bwd(tile_m, interpret, res, g):
+    x, e, w = res
+
+    def body(carry, inp):
+        dx_acc = carry
+        w_d, e_d = inp  # [T,H], [M]
+        xw = x @ w_d                        # [M,H]
+        de_d = jnp.sum(xw * g, axis=1)      # [M]
+        dx_acc = dx_acc + e_d[:, None] * (g @ w_d.T)
+        dw_d = (x * e_d[:, None]).T @ g     # [T,H]
+        return dx_acc, (de_d, dw_d)
+
+    dx, (de_cols, dw) = jax.lax.scan(
+        body, jnp.zeros_like(x), (w, jnp.moveaxis(e, 1, 0))
+    )
+    return dx, jnp.moveaxis(de_cols, 0, 1), dw
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: relation-major kernel.  One big [TM,T] @ [T, D·Hp] matmul per m-tile
+# with the packed weight resident in VMEM across the whole grid, followed by
+# a statically-sliced gating epilogue out += e[:,d] ⊙ Y[:, d·Hp:(d+1)·Hp].
+# Arithmetic intensity is maximal (W loads once, total traffic ≈ x + out),
+# and the MXU sees one large matmul instead of D skinny ones.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(x_ref, e_ref, w_ref, out_ref, *, d_dim: int, hp: int):
+    y = jnp.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    )  # [TM, D*Hp]
+    e = e_ref[:].astype(jnp.float32)
+    acc = jnp.zeros((x_ref.shape[0], hp), jnp.float32)
+    for d in range(d_dim):  # static unroll: aligned lane slices
+        e_col = e[:, d][:, None]
+        acc += e_col * y[:, d * hp : (d + 1) * hp]
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _core_v2_forward(x, e, w, *, tile_m: int, interpret: bool):
+    m, t = x.shape
+    d_dim, _, h = w.shape
+    hp = ((h + 127) // 128) * 128
+    w_packed = jnp.pad(w, ((0, 0), (0, 0), (0, hp - h)))
+    # [D,T,Hp] -> [T, D*Hp]
+    w_packed = jnp.moveaxis(w_packed, 0, 1).reshape(t, d_dim * hp)
+    grid = (pl.cdiv(m, tile_m),)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, d_dim=d_dim, hp=hp),
+        out_shape=jax.ShapeDtypeStruct((m, hp), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, d_dim * hp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, hp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * t * d_dim * hp,
+            bytes_accessed=x.size * 4 + w_packed.size * 4 + m * hp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, e, w_packed)
+    return out[:, :h]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _core_v2(x, e, w, tile_m, interpret):
+    return _core_v2_forward(x, e, w, tile_m=tile_m, interpret=interpret)
+
+
+def _core_v2_fwd(x, e, w, tile_m, interpret):
+    return (
+        _core_v2_forward(x, e, w, tile_m=tile_m, interpret=interpret),
+        (x, e, w),
+    )
+
+
+_core_v2.defvjp(_core_v2_fwd, _core_bwd)
+
+
+def deprel_bilinear_v2(x, e, w, b=None, tile_m=256, interpret=None):
+    """Relation-major fused bilinear; same contract as ``deprel_bilinear``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _core_v2(x, e, w, tile_m, interpret)
+    if b is not None:
+        out = out + (e @ b.astype(e.dtype)).astype(out.dtype)
+    return out
+
+
+def deprel_bilinear(x, e, w, b=None, tile_m=512, interpret=None):
+    """Fused ``Σ_d e_d (x @ W_d)`` (+ ``e @ b``) over flattened tokens.
+
+    x: [M, T], e: [M, D], w: [D, T, H], b: [D, H] or None → [M, H].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _core(x, e, w, tile_m, interpret)
+    if b is not None:
+        out = out + (e @ b.astype(e.dtype)).astype(out.dtype)
+    return out
+
+
+def deprel_bilinear_batched(x, e, w, b=None, **kw):
+    """[B,N,T] × [B,N,D] → [B,N,H] wrapper (flattens tokens)."""
+    bsz, n, t = x.shape
+    out = deprel_bilinear(
+        x.reshape(bsz * n, t), e.reshape(bsz * n, -1), w, b, **kw
+    )
+    return out.reshape(bsz, n, -1)

@@ -68,15 +68,21 @@ def make_sharded_train_step(
     placed_params = jax.device_put(params, p_shard)
     placed_opt = jax.device_put(opt_state, o_shard)
 
+    # Two jitted programs instead of one monolith: the combined
+    # grad+optimizer graph compiles pathologically slowly on the remote
+    # TPU compile service, while the parts compile in seconds.  The extra
+    # HBM round-trip of the (small) gradient tree is negligible.
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+
     @jax.jit
-    def train_step(params, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+    def apply_step(params, opt_state, grads):
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return optax.apply_updates(params, updates), opt_state
 
     def run(params, opt_state, batch, key):
         batch = jax.device_put(batch, b_shard)
-        return train_step(params, opt_state, batch, key)
+        loss, grads = grad_step(params, batch, key)
+        params, opt_state = apply_step(params, opt_state, grads)
+        return params, opt_state, loss
 
     return run, placed_params, placed_opt, b_shard

@@ -85,9 +85,11 @@ class Trainer:
         key = jax.random.key(seed)
         key, p_key, d_key, self._key = jax.random.split(key, 4)
         batch = init_batch or _dummy_batch(cfg)
-        self.params = self.model.init(
-            {"params": p_key, "dropout": d_key}, batch, True
-        )
+        # jit the initializer: eager init dispatches each op separately,
+        # which is pathologically slow over a remote TPU tunnel
+        self.params = jax.jit(
+            lambda rngs, b: self.model.init(rngs, b, True)
+        )({"params": p_key, "dropout": d_key}, batch)
         if emb_matrix is not None:
             assert emb_matrix.shape == self.params["params"]["word_emb"].shape, (
                 f"embedding matrix {emb_matrix.shape} vs vocab "

@@ -87,6 +87,27 @@ def golden_to_batch(z: dict, prune_k: int) -> dict:
     )
 
 
+@pytest.mark.parametrize("case", ["regular_nornn", "regular_rnn"])
+def test_pallas_fused_path_matches_reference(case):
+    """The fused Pallas SpMM path must reproduce the reference logits too
+    (interpret mode on CPU)."""
+    z = load_golden(f"model_{case}.npz")
+    opt = json.loads(bytes(z["opt"]).decode())
+    cfg = golden_to_cfg(opt)
+    cfg.use_pallas = True
+    state = {
+        k[len("state."):]: v for k, v in z.items() if k.startswith("state.")
+    }
+    params = torch_state_to_params(state, cfg)
+    batch = golden_to_batch(z, opt["prune_k"])
+    model = GCNClassifier(cfg)
+    logits, _ = model.apply(params, batch, True)
+    np.testing.assert_allclose(
+        np.asarray(logits), z["out.logits"], atol=2e-5, rtol=1e-4,
+        err_msg=f"{case}: pallas-path logits mismatch",
+    )
+
+
 @pytest.mark.parametrize("case", CASES)
 def test_model_matches_reference(case):
     z = load_golden(f"model_{case}.npz")
