@@ -55,7 +55,7 @@ class Example:
     subj_pos: np.ndarray       # [L] int32
     obj_pos: np.ndarray        # [L] int32
     relation: int
-    graph: PrunedGraph
+    graph: Optional[PrunedGraph]
 
     @property
     def length(self) -> int:
@@ -96,6 +96,52 @@ class RelationDataset:
             data = json.load(f)
         self.raw_data = data
         self.examples = [self._preprocess(d) for d in data]
+        self._attach_graphs()
+
+    def _attach_graphs(self) -> None:
+        """Prune all trees — batched through the native C++ builder when
+        available (gcn_tpu.graph.native), else per-example Python."""
+        from gcn_tpu.graph import native as native_mod
+
+        k = self.cfg.model.prune_k
+        if not self.examples:
+            return
+        if not native_mod.native_available():
+            for ex in self.examples:
+                ex.graph = prune_graph(
+                    ex.head, ex.deprel, ex.length, k, ex.subj_pos,
+                    ex.obj_pos,
+                )
+            return
+        b = len(self.examples)
+        n = max(ex.length for ex in self.examples)
+        heads = np.zeros((b, n), np.int32)
+        deprels = np.zeros((b, n), np.int32)
+        subj = np.full((b, n), 10**6, np.int32)
+        obj = np.full((b, n), 10**6, np.int32)
+        lengths = np.zeros((b,), np.int32)
+        for i, ex in enumerate(self.examples):
+            L = ex.length
+            heads[i, :L] = ex.head
+            deprels[i, :L] = ex.deprel
+            subj[i, :L] = ex.subj_pos
+            obj[i, :L] = ex.obj_pos
+            lengths[i] = L
+        ep, ec, ed, em, keep, ne, roots = (
+            native_mod.prune_graph_batch_native(
+                heads, deprels, subj, obj, lengths, k
+            )
+        )
+        for i, ex in enumerate(self.examples):
+            cnt = int(ne[i])
+            ex.graph = PrunedGraph(
+                edge_parent=ep[i, :cnt].copy(),
+                edge_child=ec[i, :cnt].copy(),
+                edge_deprel=ed[i, :cnt].copy(),
+                keep=keep[i, : ex.length].copy(),
+                dist=np.full(ex.length, -1, np.int32),
+                root=int(roots[i]),
+            )
 
     def _preprocess(self, d: dict) -> Example:
         C = self.C
@@ -129,9 +175,7 @@ class RelationDataset:
         length = len(pos)
         subj_pos = np.asarray(get_positions(ss, se, length), dtype=np.int32)
         obj_pos = np.asarray(get_positions(os_, oe, length), dtype=np.int32)
-        graph = prune_graph(
-            head, deprel, length, self.cfg.model.prune_k, subj_pos, obj_pos
-        )
+        graph = None  # attached in batch by _attach_graphs()
         return Example(
             words=words,
             pos=pos,
