@@ -27,7 +27,8 @@ def torch_state_to_params(
     s = {k: np.asarray(v) for k, v in state.items()}
     p: dict = {}
 
-    p["word_emb"] = s["gcn_model.emb.weight"]
+    if not cfg.use_bert_embeddings:
+        p["word_emb"] = s["gcn_model.emb.weight"]
     if cfg.pos_dim > 0:
         p["pos_emb"] = s["gcn_model.pos_emb.weight"]
     if cfg.ner_dim > 0 and cfg.dataset == "tacred":

@@ -93,6 +93,11 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", type=str2bool, default=False,
+                   help="Fused Pallas edge-list SpMM for regular GCN layers.")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="Capture a jax.profiler trace of early training "
+                        "steps into this directory.")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend.")
     p.set_defaults(dataset=dataset)
@@ -132,6 +137,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.dataset = args.dataset
     m.use_bert_embeddings = args.use_bert_embeddings
     m.compute_dtype = args.compute_dtype
+    m.use_pallas = args.use_pallas
 
     t.lr = args.lr
     t.lr_decay = args.lr_decay

@@ -50,6 +50,7 @@ def run_training(
     cfg: Config,
     bert_embeddings: dict | None = None,
     load_from: str | None = None,
+    profile_dir: str | None = None,
 ) -> dict:
     C = constants_for(cfg.model.dataset)
     np.random.seed(cfg.train.seed)
@@ -122,19 +123,34 @@ def run_training(
         p, r, f1 = scorer.score(batcher.gold(), labels, negative_label=neg)
         return labels, loss, {"f1": f1, "precision": p, "recall": r}
 
+    from gcn_tpu.train.profiling import ThroughputMeter, trace
+
+    meter = ThroughputMeter()
+    profiled = False
+
     for epoch in range(1, cfg.train.num_epoch + 1):
         train_loss = 0.0
+        meter.start()
         for i, batch in enumerate(train_batcher):
             start = time.time()
             global_step += 1
-            loss = trainer.update(batch)
+            if profile_dir and not profiled and global_step == 3:
+                # trace a few warm steps (skip compiles)
+                with trace(profile_dir):
+                    loss = trainer.update(batch)
+                profiled = True
+                print(f"profiler trace written to {profile_dir}")
+            else:
+                loss = trainer.update(batch)
             train_loss += loss
+            meter.step(int(batch["edge_mask"].sum()),
+                       int(batch["example_mask"].sum()))
             if global_step % cfg.train.log_step == 0:
                 print(fmt.format(
                     datetime.now(), global_step, max_steps, epoch,
                     cfg.train.num_epoch, loss, time.time() - start,
                     current_lr,
-                ))
+                ) + f" [{meter.summary()}]")
         trainer.flush_gradients()
 
         # deprel embedding snapshot (reference train.py:239-241)

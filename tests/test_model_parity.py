@@ -32,6 +32,25 @@ CASES = [
 ]
 
 
+def test_bert_input_branch_matches_reference():
+    """Float precomputed-embedding inputs (reference model/gcn.py:235-236)."""
+    z = load_golden("model_bert_rnn.npz")
+    opt = json.loads(bytes(z["opt"]).decode())
+    cfg = golden_to_cfg(opt)
+    cfg.use_bert_embeddings = True
+    state = {
+        k[len("state."):]: v for k, v in z.items() if k.startswith("state.")
+    }
+    params = torch_state_to_params(state, cfg)
+    batch = golden_to_batch(z, opt["prune_k"])
+    batch["words"] = z["in.words"]  # float [B,N,emb_dim]
+    model = GCNClassifier(cfg)
+    logits, pooled = model.apply(params, batch, True)
+    np.testing.assert_allclose(
+        np.asarray(logits), z["out.logits"], atol=2e-5, rtol=1e-4
+    )
+
+
 def golden_to_cfg(opt: dict) -> ModelConfig:
     return ModelConfig(
         emb_dim=opt["emb_dim"], ner_dim=opt["ner_dim"], pos_dim=opt["pos_dim"],
@@ -52,9 +71,12 @@ def golden_to_cfg(opt: dict) -> ModelConfig:
 
 
 def golden_to_batch(z: dict, prune_k: int) -> dict:
-    words = z["in.words"].astype(np.int32)
+    if z["in.words"].ndim == 3:  # BERT float inputs
+        words = z["in.words"].astype(np.float32)
+    else:
+        words = z["in.words"].astype(np.int32)
     masks = z["in.masks"]
-    b, n = words.shape
+    b, n = masks.shape
     lengths = (~masks).sum(1).astype(np.int32)
     e_cap = n
     edge_parent = np.zeros((b, e_cap), np.int32)

@@ -27,7 +27,8 @@ def main():
         with open(args.bert_embeddings_file, "rb") as f:
             bert_embeddings = pickle.load(f)
 
-    result = run_training(cfg, bert_embeddings=bert_embeddings)
+    result = run_training(cfg, bert_embeddings=bert_embeddings,
+                          profile_dir=args.profile_dir or None)
     print("Final test metrics at best:", result["test_at_best_dev"])
 
 
