@@ -169,10 +169,17 @@ class GCNClassifier(nn.Module):
         use_bert = words.ndim == 3
 
         # Fused Pallas path: adjacency lives only in VMEM inside the kernel
-        # (gcn_tpu.ops.pallas.spmm_fused); pooling masks come from cheap
-        # edge-list degree counts instead of the dense matrix.
-        use_fused = (
-            cfg.use_pallas and cfg.adj_type == "regular" and not cfg.no_adj
+        # (gcn_tpu.ops.pallas.{spmm_fused,band_aggregate}); pooling masks
+        # come from cheap edge-list degree counts instead of the dense
+        # matrix.  Stochastic edge dropout samples per-band masks, which the
+        # single-mask kernels don't model — fall back to dense then.
+        edge_drop_active = (not deterministic) and cfg.edge_keep_prob < 1.0
+        use_fused = cfg.use_pallas and (
+            (cfg.adj_type == "regular" and not cfg.no_adj)
+            or (
+                cfg.adj_type in ("diagonal_deprel", "full_deprel")
+                and not edge_drop_active
+            )
         )
         if use_fused:
             from gcn_tpu.ops.spmm import node_degrees
@@ -313,10 +320,42 @@ class GCNClassifier(nn.Module):
                     axis=0,
                 )
                 e_self = deprel_table[constants.SELF_LOOP_INDEX][None, None, :]
+                if use_fused:
+                    from gcn_tpu.ops.pallas.band_aggregate import (
+                        fused_band_aggregate,
+                    )
+
+                    h = fused_band_aggregate(
+                        batch["edge_parent"], batch["edge_child"],
+                        batch["edge_mask"],
+                        e_fwd * h, e_rev * h,
+                        jnp.broadcast_to(e_self * h, h.shape),
+                    )
+                    if l < cfg.num_layers - 1:
+                        h = dropout(rng() if not deterministic else None, h,
+                                    cfg.gcn_dropout, deterministic)
+                    continue
                 axw = diagonal_deprel_layer(h, adj.forward, e_fwd, e_rev,
                                             e_self)
             elif cfg.adj_type == "full_deprel":
                 w, b = deprel_ws[l]
+                if use_fused:
+                    from gcn_tpu.ops.pallas.band_aggregate import (
+                        fused_band_aggregate,
+                    )
+
+                    x_f, x_r, x_s = self._full_deprel_components(
+                        h, deprel_table, deprel, l, w, b, dtype,
+                        deterministic,
+                    )
+                    h = fused_band_aggregate(
+                        batch["edge_parent"], batch["edge_child"],
+                        batch["edge_mask"], x_f, x_r, x_s,
+                    )
+                    if l < cfg.num_layers - 1:
+                        h = dropout(rng() if not deterministic else None, h,
+                                    cfg.gcn_dropout, deterministic)
+                    continue
                 axw = self._full_deprel(
                     h, adj, deprel_table, deprel, l, w, b, dtype,
                     deterministic,
@@ -392,3 +431,56 @@ class GCNClassifier(nn.Module):
 
         return full_deprel_layer(h, a_f, e_fwd, e_rev, e_self, w, b,
                                  adj_reverse=a_r)
+
+    def _full_deprel_components(self, h, deprel_table, deprel, l, w, b,
+                                dtype, deterministic):
+        """Per-band message tensors for the fused Pallas aggregation:
+        (x_f, x_r, x_self) such that the layer output is
+        ``(A_f x_f + A_fᵀ x_r + x_self)/denom`` — the deprel-conditioned
+        transforms themselves run through the Pallas bilinear kernel."""
+        from gcn_tpu.ops.gcn_layers import self_loop_traverse
+        from gcn_tpu.ops.pallas.deprel_bilinear import (
+            deprel_bilinear_batched,
+        )
+
+        cfg = self.cfg
+        d = cfg.deprel_emb_dim
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+
+        def rng():
+            return self.make_rng("dropout")
+
+        stochastic = not deterministic
+        past_depth = l >= cfg.deprel_max_depth
+        ones_e = jnp.ones(h.shape[:2] + (d,), dtype)
+
+        e_fwd = self._deprel_lookup(deprel_table, deprel)
+        if stochastic and cfg.deprel_keep_prop < 1.0:
+            e_fwd = forget_deprels(rng(), e_fwd, cfg.deprel_keep_prop, False)
+        if past_depth:
+            e_fwd = ones_e
+        x_f = deprel_bilinear_batched(h, e_fwd, w, b)
+
+        if not cfg.deprel_directed:
+            e_rev = jnp.take(
+                deprel_table, deprel + constants.DEPREL_FORWARD_BOUND, axis=0
+            )
+            if stochastic and cfg.deprel_keep_prop < 1.0:
+                e_rev = forget_deprels(rng(), e_rev,
+                                       cfg.deprel_keep_prop, False)
+            if past_depth:
+                e_rev = ones_e
+            x_r = deprel_bilinear_batched(h, e_rev, w, b)
+        else:
+            x_r = jnp.zeros(h.shape[:2] + (cfg.hidden_dim,), h.dtype)
+
+        if cfg.deprel_self_loop:
+            e_self = deprel_table[constants.SELF_LOOP_INDEX]
+            if past_depth:
+                e_self = jnp.ones((d,), dtype)
+            x_s = self_loop_traverse(h, e_self, w, b)
+            x_s = jnp.broadcast_to(x_s, x_f.shape)
+        else:
+            x_s = jnp.zeros_like(x_f)
+        return x_f, x_r, x_s

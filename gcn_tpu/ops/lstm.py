@@ -68,6 +68,52 @@ def _unidirectional(
     return jnp.swapaxes(ys, 0, 1)
 
 
+def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict):
+    """Both directions in ONE scan: the forward cell consumes x[t] while the
+    backward cell consumes the length-reversed sequence at the same step, so
+    the serial chain is T steps total instead of two back-to-back scans.
+    The two recurrent matmuls per step are independent and overlap on the
+    MXU.  Returns [B,T,2H] with zeros at padded positions."""
+    b, t, _ = x.shape
+    fwd, bwd = layer["fwd"], layer["bwd"]
+    h_dim = fwd["w_hh"].shape[0]
+    x_rev = _reverse_by_length(x, lengths)
+    xp_f = x @ fwd["w_ih"] + (fwd["b_ih"] + fwd["b_hh"])
+    xp_b = x_rev @ bwd["w_ih"] + (bwd["b_ih"] + bwd["b_hh"])
+    inputs = (jnp.swapaxes(xp_f, 0, 1), jnp.swapaxes(xp_b, 0, 1))
+
+    def cell(xt, h, c, w_hh):
+        gates = xt + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = (jax.nn.sigmoid(f) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new, c_new
+
+    def step(carry, inp):
+        hf, cf, hb, cb, idx = carry
+        xf, xb = inp
+        hf2, cf2 = cell(xf, hf, cf, fwd["w_hh"])
+        hb2, cb2 = cell(xb, hb, cb, bwd["w_hh"])
+        valid = (idx < lengths)[:, None]
+        zero = jnp.zeros((), hf2.dtype)
+        yf = jnp.where(valid, hf2, zero)
+        yb = jnp.where(valid, hb2, zero)
+        hf = jnp.where(valid, hf2, hf)
+        cf = jnp.where(valid, cf2, cf)
+        hb = jnp.where(valid, hb2, hb)
+        cb = jnp.where(valid, cb2, cb)
+        return (hf, cf, hb, cb, idx + 1), (yf, yb)
+
+    zeros = jnp.zeros((b, h_dim), x.dtype)
+    _, (ys_f, ys_b_rev) = jax.lax.scan(
+        step, (zeros, zeros, zeros, zeros, jnp.int32(0)), inputs
+    )
+    y_f = jnp.swapaxes(ys_f, 0, 1)
+    y_b = _reverse_by_length(jnp.swapaxes(ys_b_rev, 0, 1), lengths)
+    return jnp.concatenate([y_f, y_b], axis=-1)
+
+
 def bilstm(
     params: list[dict],
     x: jax.Array,
@@ -85,11 +131,7 @@ def bilstm(
     """
     h = x
     for li, layer in enumerate(params):
-        fwd = _unidirectional(h, lengths, **layer["fwd"])
-        h_rev = _reverse_by_length(h, lengths)
-        bwd_rev = _unidirectional(h_rev, lengths, **layer["bwd"])
-        bwd = _reverse_by_length(bwd_rev, lengths)
-        h = jnp.concatenate([fwd, bwd], axis=-1)
+        h = _bidirectional_fused(h, lengths, layer)
         if li < len(params) - 1 and inter_dropout > 0.0:
             key, sub = jax.random.split(key)
             h = dropout(sub, h, inter_dropout, deterministic)

@@ -72,6 +72,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1234)
 
     p.add_argument("--load", dest="load", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the newest checkpoint in the run dir.")
     p.set_defaults(load=False)
     p.add_argument("--model_file", type=str,
                    help="Checkpoint directory to warm-start from.")

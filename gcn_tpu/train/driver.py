@@ -46,11 +46,29 @@ def load_word_embeddings(cfg: Config, vocab: Vocab):
     return emb
 
 
+def find_latest_checkpoint(run_dir: str) -> str | None:
+    """Most recent epoch checkpoint in a run directory, else best_model."""
+    if not os.path.isdir(run_dir):
+        return None
+    epochs = []
+    for name in os.listdir(run_dir):
+        if name.startswith("checkpoint_epoch_"):
+            try:
+                epochs.append((int(name.rsplit("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if epochs:
+        return os.path.join(run_dir, max(epochs)[1])
+    best = os.path.join(run_dir, "best_model")
+    return best if os.path.isdir(best) else None
+
+
 def run_training(
     cfg: Config,
     bert_embeddings: dict | None = None,
     load_from: str | None = None,
     profile_dir: str | None = None,
+    resume: bool = False,
 ) -> dict:
     C = constants_for(cfg.model.dataset)
     np.random.seed(cfg.train.seed)
@@ -99,6 +117,22 @@ def run_training(
     print_config(cfg.to_dict())
 
     trainer = Trainer(cfg, emb_matrix=emb_matrix)
+    start_epoch = 1
+    resumed_best = None
+    if resume:
+        # elastic recovery: pick up the newest checkpoint in the run dir
+        # (params + optimizer state + lr + epoch + best metrics; the
+        # reference could only warm-start weights manually and lost the
+        # epoch counter and optimizer — train.py:186-195)
+        latest = find_latest_checkpoint(run_dir)
+        if latest:
+            meta = trainer.load(latest)
+            start_epoch = int(meta.get("epoch") or 0) + 1
+            resumed_best = meta.get("best_metrics")
+            print(f"Resumed from {latest}; continuing at epoch "
+                  f"{start_epoch}")
+        else:
+            print(f"No checkpoint found in {run_dir}; starting fresh")
     if load_from:
         # warm start (reference train.py:186-195); optimizer state is
         # restored too (the reference resets it)
@@ -128,7 +162,10 @@ def run_training(
     meter = ThroughputMeter()
     profiled = False
 
-    for epoch in range(1, cfg.train.num_epoch + 1):
+    if resumed_best:
+        best_metrics = resumed_best
+
+    for epoch in range(start_epoch, cfg.train.num_epoch + 1):
         train_loss = 0.0
         meter.start()
         for i, batch in enumerate(train_batcher):
@@ -188,7 +225,8 @@ def run_training(
         if new_best:
             best_metrics = dev_m
             test_at_best = test_m
-            trainer.save(os.path.join(run_dir, "best_model"), epoch=epoch)
+            trainer.save(os.path.join(run_dir, "best_model"), epoch=epoch,
+                         extra_meta={"best_metrics": best_metrics})
             print("new best model saved.")
             file_logger.log(
                 "new best model saved at epoch {}: {:.2f}\t{:.2f}\t{:.2f}"
@@ -229,7 +267,8 @@ def run_training(
 
         # epoch checkpoint + retention (train.py:329-337)
         ckpt_dir = os.path.join(run_dir, f"checkpoint_epoch_{epoch}")
-        trainer.save(ckpt_dir, epoch=epoch)
+        trainer.save(ckpt_dir, epoch=epoch,
+                     extra_meta={"best_metrics": best_metrics})
         if epoch % cfg.train.save_epoch != 0:
             rmtree(ckpt_dir)
 

@@ -214,14 +214,18 @@ class Trainer:
         self.current_lr = new_lr
 
     # ------------------------------------------------------------------- IO
-    def save(self, directory: str, epoch: Optional[int] = None) -> None:
+    def save(self, directory: str, epoch: Optional[int] = None,
+             extra_meta: Optional[dict] = None) -> None:
+        meta = {"epoch": epoch, "global_step": self.global_step,
+                "current_lr": self.current_lr}
+        if extra_meta:
+            meta.update(extra_meta)
         ckpt.save_checkpoint(
             directory,
             self.params,
             self.opt_state,
             config=self.cfg.to_dict(),
-            meta={"epoch": epoch, "global_step": self.global_step,
-                  "current_lr": self.current_lr},
+            meta=meta,
         )
 
     def load(self, directory: str, load_opt_state: bool = True) -> dict:

@@ -109,7 +109,11 @@ def golden_to_batch(z: dict, prune_k: int) -> dict:
     )
 
 
-@pytest.mark.parametrize("case", ["regular_nornn", "regular_rnn"])
+@pytest.mark.parametrize(
+    "case",
+    ["regular_nornn", "regular_rnn", "diagonal_nornn", "full_rnn",
+     "full_rnn_directed", "full_rnn_depth0"],
+)
 def test_pallas_fused_path_matches_reference(case):
     """The fused Pallas SpMM path must reproduce the reference logits too
     (interpret mode on CPU)."""

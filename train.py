@@ -28,7 +28,8 @@ def main():
     load_from = args.model_file if args.load else None
     result = run_training(cfg, bert_embeddings=bert_embeddings,
                           load_from=load_from,
-                          profile_dir=args.profile_dir or None)
+                          profile_dir=args.profile_dir or None,
+                          resume=args.resume)
     print("Final test metrics at best dev:", result["test_at_best_dev"])
 
 

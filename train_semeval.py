@@ -28,7 +28,8 @@ def main():
             bert_embeddings = pickle.load(f)
 
     result = run_training(cfg, bert_embeddings=bert_embeddings,
-                          profile_dir=args.profile_dir or None)
+                          profile_dir=args.profile_dir or None,
+                          resume=args.resume)
     print("Final test metrics at best:", result["test_at_best_dev"])
 
 
