@@ -100,6 +100,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default="",
                    help="Capture a jax.profiler trace of early training "
                         "steps into this directory.")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="Enable jax.debug_nans (fail fast on NaNs).")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend.")
     p.set_defaults(dataset=dataset)
@@ -169,7 +171,10 @@ def args_to_config(args: argparse.Namespace) -> Config:
 
 
 def maybe_force_cpu(args: argparse.Namespace) -> None:
-    if getattr(args, "cpu", False):
-        import jax
+    import jax
 
+    if getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "debug_nans", False):
+        # NaN-checking debug mode (SURVEY.md §5: race/NaN detection)
+        jax.config.update("jax_debug_nans", True)
