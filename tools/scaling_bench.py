@@ -23,11 +23,81 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def bench_edge_partition(args, counts):
+    """Edge-partitioned SpMM over a large synthetic forest (the
+    BASELINE.json 'large forest' config): edges sharded on the model axis,
+    partial aggregates psum-combined."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gcn_tpu.parallel.edge_partition import (
+        pad_edges_for_axis,
+        partitioned_aggregate,
+    )
+    from gcn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    # CPU virtual devices share host cores: keep shards small or the
+    # 40s collective-rendezvous timeout trips on oversubscribed machines
+    b, n, h = (16, 64, 64) if args.cpu else (256, 128, 256)
+    e = n
+    parent = rng.randint(0, n, (b, e)).astype(np.int32)
+    child = rng.randint(0, n, (b, e)).astype(np.int32)
+    mask = rng.rand(b, e) < 0.9
+    x = jnp.asarray(rng.randn(b, n, h), jnp.float32)
+    edges = int(mask.sum())
+    results = []
+    for ndev in counts:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(data=1, model=ndev,
+                         devices=jax.devices()[:ndev])
+        batch = dict(edge_parent=parent, edge_child=child,
+                     edge_deprel=np.zeros_like(parent), edge_mask=mask)
+        eb = pad_edges_for_axis(batch, ndev)
+        # place inputs on THIS iteration's mesh explicitly (arrays left on
+        # a previous mesh's devices deadlock the psum rendezvous)
+        x_m = jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+        eb = {
+            k: jax.device_put(np.asarray(v),
+                              NamedSharding(mesh, P(None, "model")))
+            for k, v in eb.items()
+        }
+        fn = jax.jit(lambda x_, ep_, ec_, em_: partitioned_aggregate(
+            mesh, x_, ep_, ec_, em_))
+        fargs = (x_m, eb["edge_parent"], eb["edge_child"], eb["edge_mask"])
+        out = fn(*fargs)
+        jax.block_until_ready(out)
+        iters = 0
+        t0 = time.time()
+        while time.time() - t0 < args.seconds:
+            out = fn(*fargs)
+            # sync each step: deep async queues of collective programs
+            # overrun the CPU backend's rendezvous bookkeeping
+            jax.block_until_ready(out)
+            iters += 1
+        dt = (time.time() - t0) / iters
+        eps = edges / dt
+        results.append((ndev, eps))
+        print(json.dumps({
+            "mode": "edge_partition",
+            "devices": ndev,
+            "edges_per_sec": round(eps, 1),
+            "speedup_vs_1dev": round(eps / results[0][1], 3),
+        }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", default="1,2,4,8",
                    help="comma-separated device counts to sweep")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--mode", choices=["dp", "ep", "both"], default="dp",
+                   help="dp = data-parallel train step; "
+                        "ep = edge-partitioned SpMM on a large forest")
     p.add_argument("--batch_per_device", type=int, default=16)
     p.add_argument("--seq_len", type=int, default=96)
     p.add_argument("--seconds", type=float, default=2.0)
@@ -54,6 +124,43 @@ def main():
     counts = [c for c in counts if c <= avail]
     print(f"platform={jax.default_backend()} devices={avail} "
           f"sweep={counts}")
+
+    if args.mode in ("ep", "both"):
+        if len(counts) > 1:
+            # run each count in its own process: XLA's CPU collective
+            # rendezvous misbehaves when meshes of different sizes are
+            # created back-to-back in one process
+            import subprocess
+
+            for c in counts:
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--devices", str(c), "--mode", "ep",
+                       "--seconds", str(args.seconds)]
+                if args.cpu:
+                    cmd.append("--cpu")
+                env = dict(os.environ)
+                env["XLA_FLAGS"] = (
+                    env.get("XLA_FLAGS", "")
+                    + f" --xla_force_host_platform_device_count={c}"
+                )
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     env=env)
+                base_eps = None
+                for line in out.stdout.splitlines():
+                    if "edge_partition" in line:
+                        rec = json.loads(line)
+                        if base_eps is None and c == counts[0]:
+                            base_eps = rec["edges_per_sec"]
+                        if not hasattr(main, "_ep_base"):
+                            main._ep_base = rec["edges_per_sec"]
+                        rec["speedup_vs_1dev"] = round(
+                            rec["edges_per_sec"] / main._ep_base, 3
+                        )
+                        print(json.dumps(rec))
+        else:
+            bench_edge_partition(args, counts)
+        if args.mode == "ep":
+            return
 
     results = []
     for ndev in counts:
