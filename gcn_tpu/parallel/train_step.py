@@ -8,6 +8,7 @@ path the reference never had (single device only, SURVEY.md §2b).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -74,7 +75,7 @@ def make_sharded_train_step(
     # HBM round-trip of the (small) gradient tree is negligible.
     grad_step = jax.jit(jax.value_and_grad(loss_fn))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def apply_step(params, opt_state, grads):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state

@@ -135,8 +135,10 @@ class Trainer:
 
         return jax.value_and_grad(loss_fn)(params)
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _apply_grads(self, params, opt_state, grads):
+        # donated params/opt_state update in place on device (no fresh
+        # allocation per step); callers always rebind to the results
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 

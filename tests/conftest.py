@@ -25,6 +25,12 @@ import pytest  # noqa: E402
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test"
+    )
+
+
 @pytest.fixture(scope="session")
 def goldens_dir():
     return GOLDEN_DIR

@@ -1,0 +1,87 @@
+"""Driver-level integration tests: the train/eval CLIs end-to-end on the
+synthetic sample data (subprocess, CPU), resume, SemEval flavor, and batch
+shape accounting."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+CLI_ENV = dict(os.environ, JAX_PLATFORMS="")
+
+
+def run_cli(*argv, timeout=420):
+    out = subprocess.run(
+        [sys.executable, *argv], capture_output=True, text=True,
+        timeout=timeout, env=CLI_ENV,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_train_eval_cli_roundtrip(tmp_path):
+    save = str(tmp_path / "runs")
+    run_cli(
+        "train.py", "--cpu", "--id", "it", "--no-rnn", "--num_epoch", "2",
+        "--hidden_dim", "24", "--emb_dim", "300", "--batch_size", "20",
+        "--effective_batch_size", "20", "--model_save_dir", save,
+    )
+    run_dir = os.path.join(save, "it")
+    for artifact in ("config.json", "vocab.pkl", "best_model", "logs.txt"):
+        assert os.path.exists(os.path.join(run_dir, artifact)), artifact
+    with open(os.path.join(run_dir, "logs.txt")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("# epoch")
+    assert len(lines) >= 3  # header + 2 epochs
+
+    out = run_cli("eval.py", run_dir, "--dataset", "test", "--cpu")
+    assert "F1 (micro)" in out
+    assert os.path.exists(os.path.join(run_dir, "test_incorrect_data.json"))
+
+
+@pytest.mark.slow
+def test_semeval_cli(tmp_path):
+    save = str(tmp_path / "runs")
+    out = run_cli(
+        "train_semeval.py", "--cpu", "--id", "se", "--no-rnn",
+        "--num_epoch", "1", "--hidden_dim", "16", "--emb_dim", "300",
+        "--batch_size", "20", "--effective_batch_size", "20",
+        "--model_save_dir", save,
+    )
+    # SemEval has no dev split: selection falls back to train F1
+    assert "Training ended" in out
+    cfg = json.load(open(os.path.join(save, "se", "config.json")))
+    assert cfg["model"]["dataset"] == "semeval"
+    assert cfg["model"]["ner_dim"] == 0
+
+
+def test_batcher_emits_bounded_shape_set():
+    """All batches must land on the configured bucket lengths with a fixed
+    batch dimension — the static-shape contract that bounds XLA
+    recompilation."""
+    import collections
+
+    from gcn_tpu.config import gcn_preset
+    from gcn_tpu.data.dataset import Batcher, RelationDataset
+    from gcn_tpu.data.vocab import Vocab
+
+    with open("dataset/tacred/train.json") as f:
+        n_ex = len(json.load(f))
+    vocab = Vocab(["<PAD>", "<UNK>"])
+    cfg = gcn_preset()
+    cfg.model.vocab_size = 2
+    ds = RelationDataset("dataset/tacred/train.json", cfg, vocab)
+    batcher = Batcher(ds, 7)
+    shapes = collections.Counter()
+    total = 0
+    for batch in batcher:
+        shapes[batch["words"].shape] += 1
+        total += int(batch["example_mask"].sum())
+        assert batch["words"].shape[0] == 7  # batch axis padded
+        assert batch["words"].shape[1] in cfg.data.length_buckets
+    assert total == n_ex
+    assert len(shapes) <= len(cfg.data.length_buckets)

@@ -94,6 +94,9 @@ def test_sharded_step_matches_single_device():
 
     loss_fn = make_loss_fn(model, cfg)
     ref_loss = float(loss_fn(params, batch, key))
+    # snapshot before stepping: the sharded apply step donates its inputs,
+    # which may alias the original arrays
+    orig = jax.device_get(params)
 
     mesh = make_mesh(data=4, model=2)
     step, p, o, _ = make_sharded_train_step(
@@ -103,8 +106,8 @@ def test_sharded_step_matches_single_device():
     assert abs(float(loss) - ref_loss) < 1e-4, (float(loss), ref_loss)
     # params actually moved
     delta = jax.tree_util.tree_reduce(
-        lambda a, leaf: a + float(jnp.abs(leaf).sum()),
-        jax.tree.map(jnp.subtract, jax.device_get(p2), jax.device_get(params)),
+        lambda a, leaf: a + float(np.abs(leaf).sum()),
+        jax.tree.map(np.subtract, jax.device_get(p2), orig),
         0.0,
     )
     assert delta > 0
