@@ -151,8 +151,8 @@ class GCNClassifier(nn.Module):
         # reference model/gcn.py:48-55
         if self.cfg.adj_type == "diagonal_deprel":
             return self.cfg.hidden_dim
-        if self.cfg.adj_type == "regular":
-            return 1
+        if self.cfg.adj_type in ("regular", "attention"):
+            return 1  # dummy table (unused by these modes)
         return self.cfg.deprel_emb_dim
 
     def _deprel_lookup(self, table, ids):
@@ -181,7 +181,7 @@ class GCNClassifier(nn.Module):
                 and not edge_drop_active
             )
         )
-        if use_fused:
+        if use_fused or cfg.adj_type == "attention":
             from gcn_tpu.ops.spmm import node_degrees
 
             _, _, incident = node_degrees(
@@ -313,6 +313,50 @@ class GCNClassifier(nn.Module):
                     continue
                 axw = regular_layer(h, adj.combined, w, b,
                                     no_adj=cfg.no_adj)
+            elif cfg.adj_type == "attention":
+                # Edge-attention aggregation (NEW — the reference only
+                # sketched this: the --deprel_attn flag and masked_softmax
+                # at model/gcn.py:199-227 are dead code).  Scaled dot-
+                # product scores per tree edge via SDDMM, softmax-normalized
+                # over each destination's incoming edges, applied as
+                # per-edge weights in the edge-list SpMM.  Entirely
+                # edge-list native: no dense adjacency at all.
+                from gcn_tpu.ops.pallas.sddmm import edge_softmax, sddmm
+                from gcn_tpu.ops.spmm import spmm_forward, spmm_reverse
+
+                t_in = h.shape[-1]
+                bound = 1.0 / math.sqrt(t_in)
+                w = self.param(f"gcn_w{l}_kernel", _uniform(bound),
+                               (t_in, cfg.hidden_dim)).astype(dtype)
+                b = self.param(f"gcn_w{l}_bias", _uniform(bound),
+                               (cfg.hidden_dim,)).astype(dtype)
+                dk = cfg.hidden_dim
+                wq = self.param(f"attn_q{l}", _uniform(bound),
+                                (t_in, dk)).astype(dtype)
+                wk = self.param(f"attn_k{l}", _uniform(bound),
+                                (t_in, dk)).astype(dtype)
+                q = h @ wq
+                k = h @ wk
+                scale = 1.0 / math.sqrt(dk)
+                ep, ec = batch["edge_parent"], batch["edge_child"]
+                em = batch["edge_mask"]
+                hw = h @ w
+                # forward band: messages child→parent, normalized at parent
+                s_f = sddmm(ep, ec, em, q, k) * scale
+                a_f = edge_softmax(ep, s_f, em, n)
+                agg = spmm_forward(hw, ep, ec, em, edge_weights=a_f)
+                # reverse band: messages parent→child, normalized at child
+                s_r = sddmm(ec, ep, em, q, k) * scale
+                a_r = edge_softmax(ec, s_r, em, n)
+                agg = agg + spmm_reverse(hw, ep, ec, em, edge_weights=a_r)
+                # self connection (unnormalized, like the regular mode's
+                # W(h) term)
+                axw = agg + hw + b
+                h = jax.nn.relu(axw)
+                if l < cfg.num_layers - 1:
+                    h = dropout(rng() if not deterministic else None, h,
+                                cfg.gcn_dropout, deterministic)
+                continue
             elif cfg.adj_type == "diagonal_deprel":
                 e_fwd = self._deprel_lookup(deprel_table, deprel)
                 e_rev = jnp.take(

@@ -40,13 +40,17 @@ def spmm_forward(
     edge_child: jax.Array,   # [B,E]
     edge_mask: jax.Array,    # [B,E]
     gate: jax.Array | None = None,  # optional [B,N,H] sender gate (e ⊙ h)
+    edge_weights: jax.Array | None = None,  # optional [B,E] per-edge scale
 ) -> jax.Array:
-    """Aggregate child→parent messages: equivalent to ``A_f @ (gate*h)``."""
+    """Aggregate child→parent messages: equivalent to ``A_f @ (gate*h)``
+    (with ``A_f`` carrying ``edge_weights`` instead of 1s when given)."""
     src = gate * h if gate is not None else h
     msgs = jnp.take_along_axis(
         src, edge_child[:, :, None].astype(jnp.int32), axis=1
     )
     msgs = msgs * edge_mask[:, :, None].astype(src.dtype)
+    if edge_weights is not None:
+        msgs = msgs * edge_weights[:, :, None].astype(src.dtype)
     return _scatter_rows(msgs, edge_parent, h.shape[1])
 
 
@@ -56,6 +60,7 @@ def spmm_reverse(
     edge_child: jax.Array,
     edge_mask: jax.Array,
     gate: jax.Array | None = None,
+    edge_weights: jax.Array | None = None,
 ) -> jax.Array:
     """Aggregate parent→child messages: equivalent to ``A_fᵀ @ (gate*h)``."""
     src = gate * h if gate is not None else h
@@ -63,6 +68,8 @@ def spmm_reverse(
         src, edge_parent[:, :, None].astype(jnp.int32), axis=1
     )
     msgs = msgs * edge_mask[:, :, None].astype(src.dtype)
+    if edge_weights is not None:
+        msgs = msgs * edge_weights[:, :, None].astype(src.dtype)
     return _scatter_rows(msgs, edge_child, h.shape[1])
 
 
