@@ -24,8 +24,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 import optax
 
 # Reference torch-CPU throughput on this machine (see module docstring).

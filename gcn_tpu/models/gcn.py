@@ -25,12 +25,11 @@ parameterization when dimensions allow.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gcn_tpu import constants
 from gcn_tpu.config import ModelConfig

@@ -100,6 +100,9 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default="",
                    help="Capture a jax.profiler trace of early training "
                         "steps into this directory.")
+    p.add_argument("--compilation_cache_dir", type=str, default="",
+                   help="Persistent XLA compilation cache directory "
+                        "(speeds up repeated runs).")
     p.add_argument("--debug_nans", action="store_true",
                    help="Enable jax.debug_nans (fail fast on NaNs).")
     p.add_argument("--cpu", action="store_true",
@@ -178,3 +181,7 @@ def maybe_force_cpu(args: argparse.Namespace) -> None:
     if getattr(args, "debug_nans", False):
         # NaN-checking debug mode (SURVEY.md §5: race/NaN detection)
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "compilation_cache_dir", ""):
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -21,7 +21,7 @@ import os
 import pickle
 import time
 from datetime import datetime
-from shutil import copytree, rmtree
+from shutil import rmtree
 
 import numpy as np
 
@@ -29,7 +29,7 @@ from gcn_tpu.config import Config
 from gcn_tpu.data.dataset import Batcher, RelationDataset, constants_for
 from gcn_tpu.data.vocab import Vocab
 from gcn_tpu.train import scorer
-from gcn_tpu.train.logger import FileLogger, ensure_dir, print_config, save_config
+from gcn_tpu.train.logger import FileLogger, ensure_dir, print_config
 from gcn_tpu.train.trainer import Trainer
 
 
@@ -113,6 +113,7 @@ def run_training(
     file_logger = FileLogger(
         os.path.join(run_dir, cfg.log),
         header="# epoch\ttrain_loss\tdev_loss\tdev_score\tbest_dev_score",
+        append=resume,
     )
     print_config(cfg.to_dict())
 

@@ -46,8 +46,11 @@ class FileLogger:
     """Append-per-line log file; truncates any existing file at construction
     (reference ``utils/helper.py:49-64``)."""
 
-    def __init__(self, filename: str, header: Optional[str] = None):
+    def __init__(self, filename: str, header: Optional[str] = None,
+                 append: bool = False):
         self.filename = filename
+        if append and os.path.exists(filename):
+            return  # resume: keep history, skip header
         if os.path.exists(filename):
             os.remove(filename)
         if header is not None:

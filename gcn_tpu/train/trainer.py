@@ -14,9 +14,8 @@ plus the driver-side optimization logic that lives in ``train.py:209-237``
 
 from __future__ import annotations
 
-import os
 from functools import partial
-from typing import Any, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 its --deprel_attn flag was dead code)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -7,7 +7,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 CLI_ENV = dict(os.environ, JAX_PLATFORMS="")

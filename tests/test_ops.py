@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gcn_tpu.ops.adjacency import build_adjacency
 from gcn_tpu.ops.dropout import (

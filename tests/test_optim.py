@@ -1,7 +1,6 @@
 """Optimizer parity: MyAdagrad trajectory vs reference golden, freeze mask,
 learning-rate mutation."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

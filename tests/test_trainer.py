@@ -3,7 +3,6 @@ checkpoint round-trips, gradient accumulation matches big-batch SGD."""
 
 import collections
 import json
-import os
 
 import numpy as np
 import pytest
