@@ -167,8 +167,8 @@ def run_training(
         best_metrics = resumed_best
 
     for epoch in range(start_epoch, cfg.train.num_epoch + 1):
-        train_loss = 0.0
-        meter.start()
+        epoch_losses = []  # device scalars: converted once per epoch so the
+        meter.start()      # step loop never blocks on a device round-trip
         for i, batch in enumerate(train_batcher):
             start = time.time()
             global_step += 1
@@ -180,16 +180,18 @@ def run_training(
                 print(f"profiler trace written to {profile_dir}")
             else:
                 loss = trainer.update(batch)
-            train_loss += loss
+            epoch_losses.append(loss)
             meter.step(int(batch["edge_mask"].sum()),
                        int(batch["example_mask"].sum()))
             if global_step % cfg.train.log_step == 0:
                 print(fmt.format(
                     datetime.now(), global_step, max_steps, epoch,
-                    cfg.train.num_epoch, loss, time.time() - start,
+                    cfg.train.num_epoch, float(loss), time.time() - start,
                     current_lr,
                 ) + f" [{meter.summary()}]")
         trainer.flush_gradients()
+        train_loss = float(np.sum(np.asarray(
+            [float(l) for l in epoch_losses])))
 
         # deprel embedding snapshot (reference train.py:239-241)
         with open(os.path.join(run_dir, "deprel_embs.pkl"), "wb") as f:

@@ -83,7 +83,9 @@ class Trainer:
         seed = cfg.train.seed if rng_seed is None else rng_seed
         key = jax.random.key(seed)
         key, p_key, d_key, self._key = jax.random.split(key, 4)
-        batch = init_batch or _dummy_batch(cfg)
+        batch = init_batch or _dummy_batch(
+            cfg, use_bert=cfg.model.use_bert_embeddings
+        )
         # jit the initializer: eager init dispatches each op separately,
         # which is pathologically slow over a remote TPU tunnel
         self.params = jax.jit(
@@ -153,7 +155,7 @@ class Trainer:
         return probs, loss
 
     # -------------------------------------------------------------- updates
-    def update(self, batch: dict) -> float:
+    def update(self, batch: dict):
         """Forward+backward; steps the optimizer every ``update_gap``
         accumulated batches (reference ``train.py:209-227``)."""
         self._key, sub = jax.random.split(self._key)
@@ -166,7 +168,10 @@ class Trainer:
         self.global_step += 1
         if self._accum_count >= self.cfg.train.update_gap:
             self.flush_gradients()
-        return float(loss)
+        # return the DEVICE scalar: converting to float here would block on
+        # a device round-trip every step (expensive over a remote tunnel);
+        # callers convert at log/epoch boundaries
+        return loss
 
     def flush_gradients(self) -> None:
         """Apply any pending accumulated gradients

@@ -144,3 +144,20 @@ def test_gradient_accumulation_equivalence(data):
         np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12
     )
     assert cos > 0.99, cos
+
+
+def test_bert_path_trainer(small_cfg):
+    """Trainer must build the BERT-branch parameter tree (no word_emb) when
+    configured with precomputed float embeddings."""
+    from gcn_tpu.config import Config
+    from gcn_tpu.train.trainer import _dummy_batch
+
+    cfg = Config.from_dict(small_cfg.to_dict())
+    cfg.model.use_bert_embeddings = True
+    cfg.model.emb_dim = 32
+    cfg.model.rnn = False
+    trainer = Trainer(cfg)
+    assert "word_emb" not in trainer.params["params"]
+    batch = _dummy_batch(cfg, use_bert=True)
+    loss = trainer.update(batch)
+    assert np.isfinite(loss)
