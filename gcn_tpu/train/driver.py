@@ -117,7 +117,15 @@ def run_training(
     )
     print_config(cfg.to_dict())
 
-    trainer = Trainer(cfg, emb_matrix=emb_matrix)
+    import jax
+
+    if len(jax.devices()) > 1:
+        from gcn_tpu.train.distributed_trainer import DistributedTrainer
+
+        print(f"Using DistributedTrainer over {len(jax.devices())} devices")
+        trainer = DistributedTrainer(cfg, emb_matrix=emb_matrix)
+    else:
+        trainer = Trainer(cfg, emb_matrix=emb_matrix)
     start_epoch = 1
     resumed_best = None
     if resume:

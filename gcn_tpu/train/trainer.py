@@ -200,17 +200,26 @@ class Trainer:
     def evaluate(self, batches: Iterable[dict]):
         """Predict over an iterable of batches → (preds, probs, avg_loss)
         where avg_loss follows the reference normalization
-        (Σ batch_loss / num_examples × batch_size, ``train.py:252``)."""
+        (Σ batch_loss / num_examples × batch_size, ``train.py:252``).
+
+        All forward passes are enqueued before any result is pulled to the
+        host, so the loop pays device/transfer latency once, not per batch.
+        """
+        pending = []
+        for batch in batches:
+            probs, loss = self._forward_eval(self.params, batch)
+            pending.append((probs, loss, np.asarray(batch["example_mask"])))
         all_preds: list[int] = []
         all_probs: list[list[float]] = []
         total_loss = 0.0
         n = 0
-        for batch in batches:
-            preds, probs, loss = self.predict_batch(batch)
-            all_preds.extend(preds)
-            all_probs.extend(probs)
-            total_loss += loss
-            n += len(preds)
+        for probs, loss, mask in pending:
+            probs = np.asarray(probs)
+            preds = probs.argmax(axis=1)
+            all_preds.extend(preds[mask].tolist())
+            all_probs.extend(probs[mask].tolist())
+            total_loss += float(loss)
+            n += int(mask.sum())
         avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
 

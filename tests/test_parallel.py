@@ -111,3 +111,36 @@ def test_sharded_step_matches_single_device():
         0.0,
     )
     assert delta > 0
+
+
+def test_distributed_trainer_end_to_end():
+    """DistributedTrainer over the 8-device mesh: loss decreases and
+    predictions match the single-device trainer after identical updates."""
+    from gcn_tpu.config import gcn_preset
+    from gcn_tpu.train.distributed_trainer import DistributedTrainer
+    from gcn_tpu.train.trainer import Trainer
+
+    cfg = gcn_preset()
+    cfg.model.vocab_size = 100
+    cfg.model.emb_dim = 16
+    cfg.model.hidden_dim = 16
+    cfg.model.pos_dim = 4
+    cfg.model.ner_dim = 4
+    cfg.model.input_dropout = 0.0
+    cfg.model.gcn_dropout = 0.0
+    cfg.train.batch_size = 8
+    batch = graft._synthetic_batch(
+        graft._flagship_cfg(tiny=True), b=8, n=16
+    )
+    batch["words"] = batch["words"] % 100
+
+    t1 = Trainer(cfg, rng_seed=0)
+    t2 = DistributedTrainer(cfg, rng_seed=0)
+    for _ in range(3):
+        l1 = t1.update(batch)
+        l2 = t2.update(batch)
+    assert abs(float(l1) - float(l2)) < 1e-4, (float(l1), float(l2))
+    p1, _, loss1 = t1.predict_batch(batch)
+    p2, _, loss2 = t2.predict_batch(batch)
+    assert p1 == p2
+    assert abs(loss1 - loss2) < 1e-4
