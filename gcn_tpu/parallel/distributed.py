@@ -29,9 +29,11 @@ def initialize(
     ``GCN_TPU_COORDINATOR`` / ``GCN_TPU_NUM_PROCS`` / ``GCN_TPU_PROC_ID``).
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: do not touch jax.process_count()/jax.devices() here — any
+    # backend-initializing call before jax.distributed.initialize() is an
+    # error.
     coordinator_address = coordinator_address or os.environ.get(
         "GCN_TPU_COORDINATOR"
     )
@@ -47,7 +49,11 @@ def initialize(
     if process_id is not None:
         kwargs["process_id"] = process_id
     if kwargs or os.environ.get("TPU_WORKER_HOSTNAMES"):
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:
+            if "already initialized" not in str(e):
+                raise
     _initialized = True
 
 
