@@ -19,6 +19,10 @@ from gcn_tpu.models.gcn import GCNClassifier
 from tests.conftest import load_golden
 
 CASES = [
+    "l1_regular",
+    "l1_diagonal",
+    "l1_full",
+    "l3_regular",
     "regular_nornn",
     "regular_rnn",
     "diagonal_nornn",
