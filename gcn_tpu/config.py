@@ -135,6 +135,8 @@ class DataConfig:
     # Edge budget per bucket = edge_factor * bucket_len (a pruned dependency
     # forest has < 2N forward edges; 2N covers fwd+rev handled separately).
     edge_factor: int = 1
+    # Batch same-bucket sentences together (padding-waste reduction).
+    group_by_length: bool = False
 
 
 @dataclass

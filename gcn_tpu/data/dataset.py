@@ -208,6 +208,7 @@ class Batcher:
         seed: int = 1234,
         length_buckets: Optional[list[int]] = None,
         pad_batches: bool = True,
+        group_by_length: bool = False,
     ):
         self.ds = dataset
         self.cfg = dataset.cfg
@@ -221,6 +222,19 @@ class Batcher:
         order = list(range(len(dataset)))
         if not evaluation:
             random.Random(seed).shuffle(order)
+        if group_by_length:
+            # Stable-sort by bucketed length so same-bucket examples batch
+            # together — large padding-waste reduction vs the reference's
+            # shuffle-then-chunk (every mixed batch pads to the corpus
+            # max).  The shuffle above still randomizes order within each
+            # bucket; `gold()` follows this iteration order so scoring is
+            # unaffected.
+            order = sorted(
+                order,
+                key=lambda i: self._bucket_len(
+                    dataset.examples[i].length
+                ),
+            )
         self.order = order
         self.gold_labels = [
             dataset.id2label[dataset.examples[i].relation] for i in order

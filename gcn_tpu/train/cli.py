@@ -95,6 +95,10 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--group_by_length", type=str2bool, default=False,
+                   help="Batch same-length-bucket sentences together "
+                        "(cuts padding waste; changes batch composition "
+                        "vs the reference's shuffle-then-chunk).")
     p.add_argument("--use_pallas", type=str2bool, default=False,
                    help="Fused Pallas edge-list SpMM for regular GCN layers.")
     p.add_argument("--profile_dir", type=str, default="",
@@ -162,6 +166,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     t.pooling_l2 = args.pooling_l2
     t.lower = args.lower
 
+    d.group_by_length = args.group_by_length
     d.data_dir = args.data_dir
     d.vocab_dir = args.vocab_dir
     d.train_file = args.train_file

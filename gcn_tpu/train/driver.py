@@ -100,7 +100,8 @@ def run_training(
     )
 
     bs = cfg.train.batch_size
-    train_batcher = Batcher(train_ds, bs, seed=cfg.train.seed)
+    train_batcher = Batcher(train_ds, bs, seed=cfg.train.seed,
+                            group_by_length=cfg.data.group_by_length)
     train_eval_batcher = Batcher(train_ds, bs, evaluation=True)
     dev_batcher = Batcher(dev_ds, bs, evaluation=True) if dev_ds else None
     test_batcher = Batcher(test_ds, bs, evaluation=True)

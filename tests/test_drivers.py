@@ -84,3 +84,41 @@ def test_batcher_emits_bounded_shape_set():
         assert batch["words"].shape[1] in cfg.data.length_buckets
     assert total == n_ex
     assert len(shapes) <= len(cfg.data.length_buckets)
+
+
+def test_group_by_length_batching():
+    """Length-grouped batching reduces padding and preserves gold/label
+    alignment and example counts."""
+    import collections
+
+    from gcn_tpu.config import gcn_preset
+    from gcn_tpu.data.dataset import Batcher, RelationDataset
+    from gcn_tpu.data.vocab import Vocab
+
+    vocab = Vocab(["<PAD>", "<UNK>"])
+    cfg = gcn_preset()
+    cfg.model.vocab_size = 2
+    ds = RelationDataset("dataset/tacred/train.json", cfg, vocab)
+
+    plain = Batcher(ds, 7, seed=3)
+    grouped = Batcher(ds, 7, seed=3, group_by_length=True)
+
+    def stats(b):
+        padded = real = 0
+        labels = []
+        for i, batch in enumerate(b):
+            padded += batch["words"].size
+            real += int((~batch["pad_mask"]).sum())
+            labels.extend(
+                batch["labels"][batch["example_mask"]].tolist()
+            )
+        return padded, real, labels
+
+    p1, r1, l1 = stats(plain)
+    p2, r2, l2 = stats(grouped)
+    assert r1 == r2  # same real tokens
+    assert p2 <= p1  # padding never worse
+    # gold ordering matches the labels the batches actually yield
+    gold_ids = [ds.label2id[g] for g in grouped.gold()]
+    assert gold_ids == l2
+    assert collections.Counter(l1) == collections.Counter(l2)
