@@ -4,6 +4,7 @@ checkpoint round-trips, gradient accumulation matches big-batch SGD."""
 import collections
 import json
 
+import jax
 import numpy as np
 import pytest
 
@@ -161,3 +162,21 @@ def test_bert_path_trainer(small_cfg):
     batch = _dummy_batch(cfg, use_bert=True)
     loss = trainer.update(batch)
     assert np.isfinite(loss)
+
+
+def test_seeded_training_is_deterministic(small_cfg, data):
+    """Same seed ⇒ bit-identical parameters after identical updates."""
+    vocab, ds = data
+    runs = []
+    for _ in range(2):
+        trainer = Trainer(small_cfg, rng_seed=7)
+        batcher = Batcher(ds, 10, seed=5)
+        for batch in batcher:
+            trainer.update(batch)
+        runs.append(jax.device_get(trainer.params))
+    import jax.numpy as jnp  # noqa: F401
+
+    leaves1 = jax.tree_util.tree_leaves(runs[0])
+    leaves2 = jax.tree_util.tree_leaves(runs[1])
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(a, b)
