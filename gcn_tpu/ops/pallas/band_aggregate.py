@@ -14,8 +14,12 @@ modes (``model/gcn.py:272-294`` diagonal, ``:296-386`` full):
                         x_self = self-loop transform
 * ``regular``:          x_f = x_r = h, x_self = h(W applied outside)
 
-The [B,N,N] bands never touch HBM.  Backward is a recompute VJP through the
-XLA one-hot formulation.
+The [B,N,N] bands never touch HBM — in the backward pass either: the VJP of
+a band aggregation is itself a band aggregation (``dx_f = A_fᵀ ĝ``,
+``dx_r = A_f ĝ``, ``dx_s = ĝ`` with ``ĝ = g ⊙ act′ / denom``), so backward
+is a second Pallas pass over the same edge lists (``_pair_kernel``) plus an
+O(E) degree count for ``denom`` and the saved forward output for the ReLU
+mask.  Nothing dense is ever materialized under ``jax.grad``.
 """
 
 from __future__ import annotations
@@ -96,6 +100,78 @@ def _forward(parent, child, mask, x_f, x_r, x_s, *, relu: bool,
     )(parent3, child3, maskf, x_f, x_r, x_s)
 
 
+def _pair_kernel(parent_ref, child_ref, mask_ref, x_ref, out_t_ref,
+                 out_f_ref):
+    """(A_fᵀ x, A_f x) with the bands built in VMEM — the backward-pass
+    aggregation primitive."""
+    n = x_ref.shape[1]
+    e = parent_ref.shape[2]
+    parent = parent_ref[0, 0]
+    child = child_ref[0, 0]
+    mask = mask_ref[0, 0]
+    x = x_ref[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
+    op = (rows == parent[None, :]).astype(x.dtype)
+    oc = (rows == child[None, :]).astype(x.dtype)
+    opm = op * mask[None, :].astype(x.dtype)
+    ocm = oc * mask[None, :].astype(x.dtype)
+
+    a_f = jax.lax.dot_general(
+        opm, oc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a_r = jax.lax.dot_general(
+        ocm, op, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_t_ref[0] = jnp.dot(
+        a_r.astype(x.dtype), x, preferred_element_type=jnp.float32
+    ).astype(out_t_ref.dtype)
+    out_f_ref[0] = jnp.dot(
+        a_f.astype(x.dtype), x, preferred_element_type=jnp.float32
+    ).astype(out_f_ref.dtype)
+
+
+def pair_aggregate(parent, child, mask, x, *, interpret: bool | None = None):
+    """(A_fᵀ x, A_f x) from COO edge lists, adjacency VMEM-only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, n, h = x.shape
+    e = parent.shape[1]
+    parent3 = parent[:, None, :]
+    child3 = child[:, None, :]
+    maskf = mask.astype(jnp.float32)[:, None, :]
+    vec = lambda: pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),  # noqa: E731
+                               memory_space=pltpu.VMEM)
+    feat = lambda: pl.BlockSpec((1, n, h), lambda i: (i, 0, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pair_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, n, h), x.dtype),
+            jax.ShapeDtypeStruct((bsz, n, h), x.dtype),
+        ),
+        grid=(bsz,),
+        in_specs=[vec(), vec(), vec(), feat()],
+        out_specs=(feat(), feat()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * (2 * n * e * n + 2 * n * n * h),
+            bytes_accessed=4 * (x.size + 2 * x.size),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(parent3, child3, maskf, x)
+
+
+def band_denom(parent, child, mask, n, dtype=jnp.float32):
+    """[B,N,1] reference denominator from an O(E) degree count."""
+    from gcn_tpu.ops.spmm import node_degrees
+
+    deg_out, deg_in, incident = node_degrees(parent, child, mask, n, dtype)
+    return (deg_out + deg_in + incident.astype(dtype) + 1.0)[..., None]
+
+
 def band_ref_math(parent, child, mask, x_f, x_r, x_s, relu=True):
     """XLA formulation (backward recompute + correctness oracle)."""
     n = x_f.shape[1]
@@ -127,17 +203,22 @@ def _fwd(parent, child, mask, x_f, x_r, x_s, relu, interpret):
         interpret = jax.default_backend() != "tpu"
     out = _forward(parent, child, mask, x_f, x_r, x_s, relu=relu,
                    interpret=interpret)
-    return out, (parent, child, mask, x_f, x_r, x_s)
+    # The aggregation is linear in x_*, so the only residuals needed are the
+    # edge lists, and the output itself (ReLU mask).  No [B,N,H] inputs and
+    # no [B,N,N] bands are saved.
+    return out, (parent, child, mask, out)
 
 
 def _bwd(relu, interpret, res, g):
-    parent, child, mask, x_f, x_r, x_s = res
-    _, vjp = jax.vjp(
-        lambda a, b, c: band_ref_math(parent, child, mask, a, b, c, relu),
-        x_f, x_r, x_s,
-    )
-    dxf, dxr, dxs = vjp(g)
-    return None, None, None, dxf, dxr, dxs
+    parent, child, mask, out = res
+    n = out.shape[1]
+    denom = band_denom(parent, child, mask, n, jnp.float32)
+    gz = g.astype(jnp.float32)
+    if relu:
+        gz = jnp.where(out > 0, gz, 0.0)
+    gs = (gz / denom).astype(g.dtype)
+    dxf, dxr = pair_aggregate(parent, child, mask, gs, interpret=interpret)
+    return None, None, None, dxf, dxr, gs
 
 
 fused_band_aggregate.defvjp(_fwd, _bwd)

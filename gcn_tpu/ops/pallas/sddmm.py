@@ -11,8 +11,10 @@ sketched but never wired this up — ``masked_softmax`` and the
 
 TPU-idiomatic gather: row selection is expressed as one-hot MXU
 contractions (``onehot(parent)ᵀ @ U``) inside VMEM, so there is no
-random-access gather at all.  Backward is a recompute VJP through the XLA
-formulation (take_along_axis), which XLA lowers to DMA gathers.
+random-access gather at all.  Backward is a second Pallas pass with the
+same structure — ``du = sel_pᵀ (ḡ ⊙ sel_c V)``, ``dv = sel_cᵀ (ḡ ⊙ sel_p U)``
+with ``ḡ = g·mask`` — so scatter-adds become MXU contractions too and
+nothing is gathered through HBM.
 """
 
 from __future__ import annotations
@@ -90,6 +92,61 @@ def sddmm(parent, child, mask, u, v, interpret=None):
     return _forward(parent, child, mask, u, v, interpret=interpret)
 
 
+def _bwd_kernel(parent_ref, child_ref, mask_ref, g_ref, u_ref, v_ref,
+                du_ref, dv_ref):
+    n = u_ref.shape[1]
+    e = parent_ref.shape[2]
+    parent = parent_ref[0, 0]
+    child = child_ref[0, 0]
+    mask = mask_ref[0, 0]
+    u = u_ref[0]
+    v = v_ref[0]
+    gm = (g_ref[0, 0] * mask).astype(jnp.float32)       # [E]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    sel_p = (rows == parent[:, None]).astype(u.dtype)   # [E, N]
+    sel_c = (rows == child[:, None]).astype(v.dtype)
+    u_sel = jnp.dot(sel_p, u, preferred_element_type=jnp.float32)  # [E, H]
+    v_sel = jnp.dot(sel_c, v, preferred_element_type=jnp.float32)
+    du_ref[0] = jax.lax.dot_general(
+        sel_p, (gm[:, None] * v_sel).astype(sel_p.dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(du_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        sel_c, (gm[:, None] * u_sel).astype(sel_c.dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
+def _backward(parent, child, mask, g, u, v, *, interpret: bool):
+    bsz, n, h = u.shape
+    e = parent.shape[1]
+    parent3 = parent[:, None, :]
+    child3 = child[:, None, :]
+    maskf = mask.astype(jnp.float32)[:, None, :]
+    g3 = g.astype(jnp.float32)[:, None, :]
+    vec = lambda: pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),  # noqa: E731
+                               memory_space=pltpu.VMEM)
+    feat = lambda: pl.BlockSpec((1, n, h), lambda i: (i, 0, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(bsz,),
+        in_specs=[vec(), vec(), vec(), vec(), feat(), feat()],
+        out_specs=(feat(), feat()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * (4 * e * n * h + 2 * e * h),
+            bytes_accessed=4 * (2 * u.size + 2 * v.size + bsz * e),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(parent3, child3, maskf, g3, u, v)
+
+
 def _fwd(parent, child, mask, u, v, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -98,11 +155,10 @@ def _fwd(parent, child, mask, u, v, interpret):
 
 
 def _bwd(interpret, res, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     parent, child, mask, u, v = res
-    _, vjp = jax.vjp(
-        lambda u_, v_: sddmm_ref(parent, child, mask, u_, v_), u, v
-    )
-    du, dv = vjp(g)
+    du, dv = _backward(parent, child, mask, g, u, v, interpret=interpret)
     return None, None, None, du, dv
 
 

@@ -19,8 +19,11 @@ the reference's host-built dense masked bmm and the XLA scatter+bmm path
 (``gcn_tpu.ops.adjacency`` + ``gcn_layers.regular_layer``), both of which
 round-trip O(B·N²) adjacency through HBM.
 
-Backward: recompute-based custom VJP through the equivalent XLA math
-(adjacency rebuilt by the same one-hot contraction — cheap, MXU-bound).
+Backward keeps the same property: with S = A_f + A_fᵀ + diag(incident+1)
+(symmetric), the VJP is ``dh = S(ĝWᵀ)``, ``dW = (Sh)ᵀĝ``, ``db = 2Σĝ``
+where ``ĝ = g ⊙ relu′ / denom``.  A second Pallas pass (``_sym_pair``)
+computes ``S·(ĝWᵀ)`` and ``S·h`` with the adjacency rebuilt in VMEM; the
+small matmuls with W and the O(E) degree count stay in XLA.
 """
 
 from __future__ import annotations
@@ -121,6 +124,73 @@ def onehot_adjacency(parent, child, mask, n, dtype=jnp.float32):
     return jnp.einsum("bne,bme->bnm", opm, oc)
 
 
+def _sym_pair_kernel(parent_ref, child_ref, mask_ref, x1_ref, x2_ref,
+                     o1_ref, o2_ref):
+    """(S x1, S x2) with S = A_f + A_fᵀ + diag(incident + 1) built in VMEM."""
+    n = x1_ref.shape[1]
+    e = parent_ref.shape[2]
+    parent = parent_ref[0, 0]
+    child = child_ref[0, 0]
+    mask = mask_ref[0, 0]
+    x1 = x1_ref[0]
+    x2 = x2_ref[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
+    op = (rows == parent[None, :]).astype(x1.dtype)
+    oc = (rows == child[None, :]).astype(x1.dtype)
+    opm = op * mask[None, :].astype(x1.dtype)
+    ocm = oc * mask[None, :].astype(x1.dtype)
+
+    a_f = jax.lax.dot_general(
+        opm, oc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a_r = jax.lax.dot_general(
+        ocm, op, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = a_f + a_r
+    incident = ((jnp.sum(s, axis=1, keepdims=True)) > 0).astype(jnp.float32)
+    diag = incident + 1.0
+    o1 = jnp.dot(s.astype(x1.dtype), x1, preferred_element_type=jnp.float32)
+    o1_ref[0] = (o1 + diag * x1.astype(jnp.float32)).astype(o1_ref.dtype)
+    o2 = jnp.dot(s.astype(x2.dtype), x2, preferred_element_type=jnp.float32)
+    o2_ref[0] = (o2 + diag * x2.astype(jnp.float32)).astype(o2_ref.dtype)
+
+
+def _sym_pair(parent, child, mask, x1, x2, *, interpret: bool):
+    bsz, n, _ = x1.shape
+    e = parent.shape[1]
+    parent3 = parent[:, None, :]
+    child3 = child[:, None, :]
+    maskf = mask.astype(jnp.float32)[:, None, :]
+    vec = lambda: pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),  # noqa: E731
+                               memory_space=pltpu.VMEM)
+
+    def feat(t):
+        return pl.BlockSpec((1, n, t), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _sym_pair_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x1.shape, x1.dtype),
+            jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        ),
+        grid=(bsz,),
+        in_specs=[vec(), vec(), vec(), feat(x1.shape[-1]),
+                  feat(x2.shape[-1])],
+        out_specs=(feat(x1.shape[-1]), feat(x2.shape[-1])),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * (2 * n * e * n
+                             + n * n * (x1.shape[-1] + x2.shape[-1])),
+            bytes_accessed=4 * 2 * (x1.size + x2.size),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(parent3, child3, maskf, x1, x2)
+
+
 def _ref_math(parent, child, mask, h, w, b):
     n = h.shape[1]
     a_f = onehot_adjacency(parent, child, mask, n, h.dtype)
@@ -150,17 +220,26 @@ def _fwd(parent, child, mask, h, w, b, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out = _forward(parent, child, mask, h, w, b, interpret=interpret)
-    return out, (parent, child, mask, h, w, b)
+    return out, (parent, child, mask, h, w, out)
 
 
 def _bwd(interpret, res, g):
-    parent, child, mask, h, w, b = res
-    _, vjp = jax.vjp(
-        lambda h_, w_, b_: _ref_math(parent, child, mask, h_, w_, b_),
-        h, w, b,
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    parent, child, mask, h, w, out = res
+    n = h.shape[1]
+    from gcn_tpu.ops.spmm import node_degrees
+
+    deg_out, deg_in, incident = node_degrees(
+        parent, child, mask, n, jnp.float32
     )
-    dh, dw, db = vjp(g)
-    return None, None, None, dh, dw, db
+    denom = (deg_out + deg_in + incident.astype(jnp.float32) + 1.0)[..., None]
+    gs = (jnp.where(out > 0, g.astype(jnp.float32), 0.0) / denom)
+    db = 2.0 * jnp.sum(gs, axis=(0, 1)).astype(w.dtype)
+    gw = jnp.matmul(gs.astype(h.dtype), w.T)           # [B,N,T]
+    dh, ah = _sym_pair(parent, child, mask, gw, h, interpret=interpret)
+    dw = jnp.einsum("bnt,bnh->th", ah.astype(jnp.float32), gs).astype(w.dtype)
+    return None, None, None, dh.astype(h.dtype), dw, db
 
 
 fused_gcn_spmm.defvjp(_fwd, _bwd)

@@ -1,0 +1,230 @@
+"""Node-partitioned aggregation with boundary (halo) exchange.
+
+The scalable graph-parallel mode (SURVEY.md §5 "long-context analog",
+§7 hard-part 7).  The token/node axis of the batched forest is split into
+contiguous slabs across the ``model`` mesh axis; every device owns
+
+* its node-feature slab ``h[:, k·S:(k+1)·S, :]`` — per-device feature
+  memory is ``N/K`` of the full tensor (vs. fully replicated features in
+  ``edge_partition.partitioned_aggregate``), and
+* the edges whose *destination* lies in its slab, so scatter-adds are
+  always local.
+
+Edges whose *source* lives on another device need that node's features: the
+halo.  A load-time plan (``build_halo_plan``) computes, per device pair
+(j → k), the exact boundary-node list k needs from j, padded to a static
+size, so the runtime exchange is ONE ``lax.all_to_all`` of only boundary
+features over ICI — not a full-tensor ``psum``.  Local-source edges are
+aggregated from the device's own slab with no dependency on the collective,
+so XLA overlaps the all_to_all with the local SpMM; halo-source edges are
+added when the exchange lands.
+
+The replicate+psum path (``edge_partition.py``) is kept as the correctness
+oracle; both are tested against the dense adjacency matmul.
+
+Everything here is new TPU-native surface — the reference is strictly
+single-device (reference ``train.py:93-94``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class HaloPlan:
+    """Static-shape exchange plan for one batch of forests.
+
+    All index arrays are in *local* coordinates.  ``requests[j, k, b, i]``
+    is the i-th node (local to owner j) that device k needs from j for
+    example b; the received feature lands at extended-buffer slot
+    ``S + j·Hp + i`` on device k.
+    """
+
+    n_devices: int
+    slab: int                 # S: nodes per device (node axis padded to K·S)
+    halo_width: int           # Hp: per-pair request capacity
+    requests: np.ndarray      # [K, K, B, Hp] int32 (sender-local node ids)
+    request_mask: np.ndarray  # [K, K, B, Hp] bool
+    local_dst: np.ndarray     # [K, B, El] int32 (slab-local destination)
+    local_src: np.ndarray     # [K, B, El] int32 (slab-local source)
+    local_mask: np.ndarray    # [K, B, El] bool
+    halo_dst: np.ndarray      # [K, B, Eh] int32 (slab-local destination)
+    halo_src: np.ndarray      # [K, B, Eh] int32 (extended-buffer source ≥ S)
+    halo_mask: np.ndarray     # [K, B, Eh] bool
+
+
+def build_halo_plan(
+    edge_parent: np.ndarray,  # [B, E]
+    edge_child: np.ndarray,   # [B, E]
+    edge_mask: np.ndarray,    # [B, E]
+    n: int,
+    n_devices: int,
+    reverse: bool = False,
+) -> HaloPlan:
+    """Load-time (host) partitioning of a batched edge list.
+
+    ``reverse=False`` plans ``A_f @ h`` (messages child→parent: destination
+    = parent); ``reverse=True`` plans ``A_fᵀ @ h``.  O(B·E) python — done
+    once per batch at data-load time alongside pruning (the same place the
+    reference rebuilt trees every forward, ``model/gcn.py:102-112``).
+    """
+    b_sz, _ = edge_parent.shape
+    k = n_devices
+    slab = -(-n // k)  # ceil: node axis conceptually padded to k*slab
+
+    dst_all = (edge_child if reverse else edge_parent).astype(np.int64)
+    src_all = (edge_parent if reverse else edge_child).astype(np.int64)
+
+    # pass 1: per-pair ordered-unique request lists + per-device edge counts
+    requests: dict[tuple[int, int, int], list[int]] = {}
+    req_pos: dict[tuple[int, int, int, int], int] = {}
+    local: list[list[list[tuple[int, int]]]] = [
+        [[] for _ in range(b_sz)] for _ in range(k)
+    ]
+    halo: list[list[list[tuple[int, int, int]]]] = [
+        [[] for _ in range(b_sz)] for _ in range(k)
+    ]
+    for b in range(b_sz):
+        for e in range(edge_parent.shape[1]):
+            if not edge_mask[b, e]:
+                continue
+            dst = int(dst_all[b, e])
+            src = int(src_all[b, e])
+            kd, ks = dst // slab, src // slab
+            if ks == kd:
+                local[kd][b].append((dst - kd * slab, src - ks * slab))
+            else:
+                key = (ks, kd, b, src)
+                if key not in req_pos:
+                    lst = requests.setdefault((ks, kd, b), [])
+                    req_pos[key] = len(lst)
+                    lst.append(src - ks * slab)
+                halo[kd][b].append((dst - kd * slab, ks, req_pos[key]))
+
+    hp = max([len(v) for v in requests.values()] + [1])
+    el = max([len(x) for dev in local for x in dev] + [1])
+    eh = max([len(x) for dev in halo for x in dev] + [1])
+
+    req_arr = np.zeros((k, k, b_sz, hp), np.int32)
+    req_mask = np.zeros((k, k, b_sz, hp), bool)
+    for (ks, kd, b), lst in requests.items():
+        req_arr[ks, kd, b, : len(lst)] = lst
+        req_mask[ks, kd, b, : len(lst)] = True
+
+    l_dst = np.zeros((k, b_sz, el), np.int32)
+    l_src = np.zeros((k, b_sz, el), np.int32)
+    l_mask = np.zeros((k, b_sz, el), bool)
+    h_dst = np.zeros((k, b_sz, eh), np.int32)
+    h_src = np.zeros((k, b_sz, eh), np.int32)
+    h_mask = np.zeros((k, b_sz, eh), bool)
+    for kd in range(k):
+        for b in range(b_sz):
+            for i, (d, s) in enumerate(local[kd][b]):
+                l_dst[kd, b, i], l_src[kd, b, i] = d, s
+                l_mask[kd, b, i] = True
+            for i, (d, ks, pos) in enumerate(halo[kd][b]):
+                h_dst[kd, b, i] = d
+                h_src[kd, b, i] = slab + ks * hp + pos
+                h_mask[kd, b, i] = True
+
+    return HaloPlan(
+        n_devices=k, slab=slab, halo_width=hp,
+        requests=req_arr, request_mask=req_mask,
+        local_dst=l_dst, local_src=l_src, local_mask=l_mask,
+        halo_dst=h_dst, halo_src=h_src, halo_mask=h_mask,
+    )
+
+
+def _scatter_local(h_ext, dst, src, mask, slab):
+    """out[b, dst] += h_ext[b, src] for masked edges; out is [B, slab, H]."""
+    b = h_ext.shape[0]
+    msgs = jnp.take_along_axis(
+        h_ext, src[:, :, None].astype(jnp.int32), axis=1
+    )
+    msgs = msgs * mask[:, :, None].astype(h_ext.dtype)
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
+                            dst.shape)
+    out = jnp.zeros((b, slab, h_ext.shape[-1]), h_ext.dtype)
+    return out.at[bidx, dst].add(msgs, mode="drop")
+
+
+def halo_aggregate(
+    mesh: Mesh,
+    h: jax.Array,             # [B, K·S, H] node features, sharded on nodes
+    plan: HaloPlan,
+    axis: str = "model",
+) -> jax.Array:
+    """Sparse aggregation with node-sharded features + halo exchange.
+
+    Returns the same [B, K·S, H] node-sharded layout.  Communication is one
+    ``all_to_all`` of [K, B, Hp, H] boundary features; per-device live
+    feature memory is ``B·(S + K·Hp)·H``.
+    """
+    k, slab, hp = plan.n_devices, plan.slab, plan.halo_width
+    assert mesh.shape[axis] == k, (mesh.shape, k)
+
+    reqs = jnp.asarray(plan.requests)
+    reqm = jnp.asarray(plan.request_mask)
+    args = [jnp.asarray(a) for a in (
+        plan.local_dst, plan.local_src, plan.local_mask,
+        plan.halo_dst, plan.halo_src, plan.halo_mask,
+    )]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),       # h: nodes sharded
+            P(axis,),                  # requests [K_owner, K, B, Hp]
+            P(axis,),
+            P(axis,), P(axis,), P(axis,),   # local edges [K, B, El]
+            P(axis,), P(axis,), P(axis,),   # halo edges  [K, B, Eh]
+        ),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    def run(h_own, req, req_mask, l_dst, l_src, l_mask, h_dst, h_src,
+            h_mask):
+        # h_own: [B, S, H]; req: [1, K, B, Hp] (what each peer needs from me)
+        req = req[0]
+        req_mask = req_mask[0]
+        # [K, B, Hp, H]: gather my boundary nodes for each peer
+        idx = req[..., None]                     # [K, B, Hp, 1]
+        out_sends = jnp.take_along_axis(h_own[None], idx, axis=2)
+        out_sends = out_sends * req_mask[..., None].astype(out_sends.dtype)
+        # one boundary-feature exchange over ICI
+        halo_feats = jax.lax.all_to_all(
+            out_sends, axis, split_axis=0, concat_axis=0, tiled=False
+        )  # [K, B, Hp, H]; row j = features from peer j, in my request order
+        # local-source edges: no dependency on the collective — XLA overlaps
+        out = _scatter_local(h_own, l_dst[0], l_src[0], l_mask[0], slab)
+        # extended buffer: own slab ++ halo (slot S + j·Hp + i)
+        h_ext = jnp.concatenate(
+            [h_own, jnp.moveaxis(halo_feats, 0, 1).reshape(
+                h_own.shape[0], k * hp, h_own.shape[-1]
+            )], axis=1,
+        )
+        out = out + _scatter_local(
+            h_ext, h_dst[0], h_src[0], h_mask[0], slab
+        )
+        return out
+
+    return run(h, reqs, reqm, *args)
+
+
+def pad_nodes_for_axis(h: jax.Array, n_devices: int) -> jax.Array:
+    """Pad the node axis so it divides the mesh axis size."""
+    n = h.shape[1]
+    slab = -(-n // n_devices)
+    pad = slab * n_devices - n
+    if pad == 0:
+        return h
+    return jnp.pad(h, ((0, 0), (0, pad), (0, 0)))

@@ -1,0 +1,146 @@
+"""Halo-exchange node-partitioned aggregation (gcn_tpu.parallel.halo) vs
+the dense adjacency matmul and the replicate+psum oracle, on the 8-device
+virtual CPU mesh.  Also checks the exchange really is an all_to_all of
+boundary features (not a full-tensor psum) and that per-device live feature
+memory scales ~1/axis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_tpu.ops.adjacency import build_adjacency
+from gcn_tpu.parallel.edge_partition import (
+    pad_edges_for_axis,
+    partitioned_aggregate,
+)
+from gcn_tpu.parallel.halo import (
+    build_halo_plan,
+    halo_aggregate,
+    pad_nodes_for_axis,
+)
+from gcn_tpu.parallel.mesh import make_mesh
+
+
+def _forest(b=6, n=24, seed=0):
+    rng = np.random.RandomState(seed)
+    parent = np.zeros((b, n), np.int32)
+    child = np.zeros((b, n), np.int32)
+    mask = np.zeros((b, n), bool)
+    for i in range(b):
+        li = rng.randint(n // 2, n + 1)
+        for t in range(1, li):
+            parent[i, t - 1] = rng.randint(t)
+            child[i, t - 1] = t
+            mask[i, t - 1] = True
+    return parent, child, mask
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=2, model=4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_halo_matches_dense(mesh, reverse):
+    k = mesh.shape["model"]
+    parent, child, mask = _forest()
+    n = parent.shape[1]
+    h = np.asarray(
+        jax.random.normal(jax.random.key(1), (parent.shape[0], n, 16))
+    )
+    plan = build_halo_plan(parent, child, mask, n, k, reverse=reverse)
+    hp = pad_nodes_for_axis(jnp.asarray(h), k)
+    out = halo_aggregate(mesh, hp, plan)
+    adj = build_adjacency(
+        jnp.asarray(parent), jnp.asarray(child), jnp.asarray(mask), n
+    )
+    band = jnp.swapaxes(adj.forward, 1, 2) if reverse else adj.forward
+    dense = jnp.matmul(band, jnp.asarray(h))
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :n], np.asarray(dense), atol=1e-5
+    )
+    # padded tail rows receive nothing
+    assert not np.asarray(out)[:, n:].any()
+
+
+def test_halo_matches_replicate_psum_oracle(mesh):
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=3)
+    n = parent.shape[1]
+    h = jax.random.normal(jax.random.key(2), (parent.shape[0], n, 8))
+    plan = build_halo_plan(parent, child, mask, n, k)
+    out = halo_aggregate(mesh, pad_nodes_for_axis(h, k), plan)
+
+    batch = {
+        "edge_parent": jnp.asarray(parent),
+        "edge_child": jnp.asarray(child),
+        "edge_deprel": jnp.zeros_like(jnp.asarray(parent)),
+        "edge_mask": jnp.asarray(mask),
+    }
+    eb = pad_edges_for_axis(batch, k)
+    oracle = partitioned_aggregate(
+        mesh, h, eb["edge_parent"], eb["edge_child"], eb["edge_mask"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :n], np.asarray(oracle), atol=1e-5
+    )
+
+
+def test_halo_is_all_to_all_not_psum(mesh):
+    """The exchange must lower to all_to_all of boundary features; the
+    full-tensor all-reduce of the replicate+psum path must be absent."""
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=4)
+    n = parent.shape[1]
+    h = jax.random.normal(jax.random.key(3), (parent.shape[0], n, 8))
+    plan = build_halo_plan(parent, child, mask, n, k)
+    hp = pad_nodes_for_axis(h, k)
+    hlo = jax.jit(
+        lambda x: halo_aggregate(mesh, x, plan)
+    ).lower(hp).as_text()
+    assert "all_to_all" in hlo
+    assert "all_reduce" not in hlo
+
+
+def test_halo_memory_scales(mesh):
+    """Per-device extended buffer ≈ S + K·Hp rows — far below N when edges
+    have the short-arc locality of real dependency trees (most heads are
+    within a few tokens of their dependent)."""
+    k = mesh.shape["model"]
+    b, n = 4, 64
+    rng = np.random.RandomState(5)
+    parent = np.zeros((b, n), np.int32)
+    child = np.zeros((b, n), np.int32)
+    mask = np.zeros((b, n), bool)
+    for i in range(b):
+        for t in range(1, n):
+            parent[i, t - 1] = t - rng.randint(1, min(t, 4) + 1)
+            child[i, t - 1] = t
+            mask[i, t - 1] = True
+    plan = build_halo_plan(parent, child, mask, n, k)
+    ext_rows = plan.slab + k * plan.halo_width
+    assert plan.slab == 16
+    assert ext_rows <= n // 2, (plan.slab, plan.halo_width)
+
+
+def test_halo_differentiable(mesh):
+    """grad flows through the exchange (all_to_all transpose)."""
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(b=2, n=16, seed=6)
+    n = parent.shape[1]
+    h = jax.random.normal(jax.random.key(4), (2, n, 4))
+    plan = build_halo_plan(parent, child, mask, n, k)
+
+    def f(x):
+        return (halo_aggregate(mesh, pad_nodes_for_axis(x, k), plan)
+                ** 2).sum()
+
+    g = jax.grad(f)(h)
+    adj = build_adjacency(
+        jnp.asarray(parent), jnp.asarray(child), jnp.asarray(mask), n
+    )
+    gd = jax.grad(
+        lambda x: (jnp.matmul(adj.forward, x) ** 2).sum()
+    )(h)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd), atol=1e-5)

@@ -1,6 +1,6 @@
-"""Coverage for remaining components: CSR conversion, variational dropout,
-prepare_vocab end-to-end with a fake GloVe file, distributed runtime info,
-config IO round-trip."""
+"""Coverage for remaining components: variational dropout, prepare_vocab
+end-to-end with a fake GloVe file, distributed runtime info, config IO
+round-trip."""
 
 import subprocess
 import sys
@@ -10,30 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcn_tpu.config import Config, cgcn_preset
-from gcn_tpu.graph.csr import coo_to_csr, csr_to_coo
 from gcn_tpu.ops.dropout import variational_dropout
-
-
-class TestCSR:
-    def test_roundtrip(self):
-        rng = np.random.RandomState(0)
-        n, e = 12, 20
-        parent = rng.randint(0, n, e)
-        child = rng.randint(0, n, e)
-        deprel = rng.randint(2, 41, e)
-        g = coo_to_csr(parent, child, deprel, n)
-        assert g.row_ptr[-1] == e
-        p2, c2, d2 = csr_to_coo(g)
-        # same multiset of edges
-        orig = sorted(zip(parent.tolist(), child.tolist(), deprel.tolist()))
-        back = sorted(zip(p2.tolist(), c2.tolist(), d2.tolist()))
-        assert orig == back
-
-    def test_row_grouping(self):
-        g = coo_to_csr(np.array([2, 0, 2]), np.array([1, 3, 4]),
-                       np.array([5, 6, 7]), 4)
-        assert g.row_ptr.tolist() == [0, 1, 1, 3, 3]
-        assert g.col_idx[g.row_ptr[2]:g.row_ptr[3]].tolist() == [1, 4]
 
 
 def test_variational_dropout_shares_mask_over_sequence():

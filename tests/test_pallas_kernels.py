@@ -1,5 +1,5 @@
 """Pallas kernels vs dense-XLA reference (interpret mode on CPU):
-deprel bilinear (v1 + v2), fused regular layer, fused edge-list SpMM.
+deprel bilinear (v1 + v2), fused edge-list SpMM.
 Forward and custom-VJP gradients."""
 
 import jax
@@ -14,8 +14,6 @@ from gcn_tpu.ops.pallas.deprel_bilinear import (
     deprel_bilinear_batched,
     deprel_bilinear_v2,
 )
-from gcn_tpu.ops.pallas.gcn_fused import _ref_math as fused_ref
-from gcn_tpu.ops.pallas.gcn_fused import fused_regular_layer
 from gcn_tpu.ops.pallas.spmm_fused import (
     fused_gcn_spmm,
     onehot_adjacency,
@@ -74,35 +72,6 @@ def test_bilinear_unaligned_tail(data):
     out = deprel_bilinear(x, e, data["w"], data["b"], 32)
     ref = bilinear_traverse(x[None], e[None], data["w"], data["b"])[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-
-class TestFusedRegular:
-    def setup_method(self):
-        rng = np.random.RandomState(1)
-        b, n, t, h = 3, 16, 20, 12
-        self.a = (rng.rand(b, n, n) < 0.2).astype(np.float32)
-        self.h = jnp.asarray(rng.randn(b, n, t), jnp.float32)
-        self.w = jnp.asarray(rng.randn(t, h) * 0.1, jnp.float32)
-        self.b = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
-        self.denom = jnp.asarray(rng.rand(b, n, 1) + 1, jnp.float32)
-
-    def test_forward(self):
-        out = fused_regular_layer(self.a, self.h, self.w, self.b, self.denom)
-        ref = fused_ref(self.a, self.h, self.w, self.b, self.denom)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5)
-
-    def test_grads(self):
-        gp = jax.grad(
-            lambda *a: (fused_regular_layer(*a) ** 2).sum(),
-            argnums=(1, 2, 3),
-        )(self.a, self.h, self.w, self.b, self.denom)
-        gr = jax.grad(
-            lambda *a: (fused_ref(*a) ** 2).sum(), argnums=(1, 2, 3)
-        )(self.a, self.h, self.w, self.b, self.denom)
-        for a, c in zip(gp, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
-                                       atol=1e-4)
 
 
 class TestFusedSpmm:

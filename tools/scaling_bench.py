@@ -90,14 +90,83 @@ def bench_edge_partition(args, counts):
         }))
 
 
+def bench_halo(args, counts):
+    """Weak-scaling of the halo-exchange node-partitioned aggregation
+    (gcn_tpu.parallel.halo): per-device slab size is constant, total forest
+    grows with the axis — the SURVEY §7-7 boundary-exchange benchmark."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gcn_tpu.parallel.halo import build_halo_plan, halo_aggregate
+    from gcn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    b, h = (16, 128) if args.cpu else (64, 256)
+    n_per_dev = 128
+    for ndev in counts:
+        n = n_per_dev * ndev
+        parent = np.zeros((b, n), np.int32)
+        child = np.zeros((b, n), np.int32)
+        mask = np.zeros((b, n), bool)
+        for i in range(b):
+            for t in range(1, n):
+                # short-arc trees (dependency-tree locality)
+                parent[i, t - 1] = t - rng.randint(1, min(t, 6) + 1)
+                child[i, t - 1] = t
+                mask[i, t - 1] = True
+        edges = int(mask.sum())
+        mesh = make_mesh(data=1, model=ndev, devices=jax.devices()[:ndev])
+        plan = build_halo_plan(parent, child, mask, n, ndev)
+        x = jax.device_put(
+            np.asarray(rng.randn(b, plan.slab * ndev, h), np.float32),
+            NamedSharding(mesh, P(None, "model", None)),
+        )
+        fn = jax.jit(lambda x_: halo_aggregate(mesh, x_, plan))
+        out = fn(x)
+        jax.block_until_ready(out)
+        iters = 0
+        t0 = time.time()
+        while time.time() - t0 < args.seconds:
+            out = fn(x)
+            jax.block_until_ready(out)
+            iters += 1
+        dt = (time.time() - t0) / iters
+        eps = edges / dt
+        if not hasattr(bench_halo, "_base"):
+            bench_halo._base = eps / ndev
+        rec = {
+            "mode": "halo",
+            "devices": ndev,
+            "edges_per_sec": round(eps, 1),
+            "per_device": round(eps / ndev, 1),
+            "weak_scaling_efficiency": round(
+                eps / ndev / bench_halo._base, 3
+            ),
+            "halo_width": plan.halo_width,
+        }
+        if args.cpu:
+            # virtual devices share one host's cores: per-device weak
+            # scaling is bounded by 1/ndev by construction.  The meaningful
+            # CPU-mesh number is aggregate-throughput retention (the cost
+            # of the added exchange); real per-chip weak scaling needs a
+            # real slice.
+            rec["note"] = "cpu virtual mesh: see aggregate edges_per_sec"
+        print(json.dumps(rec))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", default="1,2,4,8",
                    help="comma-separated device counts to sweep")
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--mode", choices=["dp", "ep", "both"], default="dp",
+    p.add_argument("--mode", choices=["dp", "ep", "halo", "both"],
+                   default="dp",
                    help="dp = data-parallel train step; "
-                        "ep = edge-partitioned SpMM on a large forest")
+                        "ep = edge-partitioned SpMM (replicate+psum); "
+                        "halo = node-partitioned SpMM with boundary "
+                        "all_to_all, weak scaling")
     p.add_argument("--batch_per_device", type=int, default=16)
     p.add_argument("--seq_len", type=int, default=96)
     p.add_argument("--seconds", type=float, default=2.0)
@@ -125,16 +194,22 @@ def main():
     print(f"platform={jax.default_backend()} devices={avail} "
           f"sweep={counts}")
 
-    if args.mode in ("ep", "both"):
+    for mode, runner, per_dev_metric in (
+        ("ep", bench_edge_partition, False),
+        ("halo", bench_halo, True),
+    ):
+        if args.mode not in (mode, "both"):
+            continue
         if len(counts) > 1:
             # run each count in its own process: XLA's CPU collective
             # rendezvous misbehaves when meshes of different sizes are
             # created back-to-back in one process
             import subprocess
 
+            base = None
             for c in counts:
                 cmd = [sys.executable, os.path.abspath(__file__),
-                       "--devices", str(c), "--mode", "ep",
+                       "--devices", str(c), "--mode", mode,
                        "--seconds", str(args.seconds)]
                 if args.cpu:
                     cmd.append("--cpu")
@@ -145,22 +220,27 @@ def main():
                 )
                 out = subprocess.run(cmd, capture_output=True, text=True,
                                      env=env)
-                base_eps = None
                 for line in out.stdout.splitlines():
-                    if "edge_partition" in line:
-                        rec = json.loads(line)
-                        if base_eps is None and c == counts[0]:
-                            base_eps = rec["edges_per_sec"]
-                        if not hasattr(main, "_ep_base"):
-                            main._ep_base = rec["edges_per_sec"]
-                        rec["speedup_vs_1dev"] = round(
-                            rec["edges_per_sec"] / main._ep_base, 3
+                    if '"mode"' not in line:
+                        continue
+                    rec = json.loads(line)
+                    if per_dev_metric:
+                        if base is None:
+                            base = rec["per_device"]
+                        rec["weak_scaling_efficiency"] = round(
+                            rec["per_device"] / base, 3
                         )
-                        print(json.dumps(rec))
+                    else:
+                        if base is None:
+                            base = rec["edges_per_sec"]
+                        rec["speedup_vs_1dev"] = round(
+                            rec["edges_per_sec"] / base, 3
+                        )
+                    print(json.dumps(rec))
         else:
-            bench_edge_partition(args, counts)
-        if args.mode == "ep":
-            return
+            runner(args, counts)
+    if args.mode in ("ep", "halo"):
+        return
 
     results = []
     for ndev in counts:
