@@ -111,6 +111,14 @@ class TrainConfig:
     max_grad_norm: float = 5.0
     log_step: int = 20
     save_epoch: int = 100
+    # elastic-recovery additions over the reference retention policy
+    # (which deletes every non-save_epoch checkpoint, train.py:336-337):
+    # always keep the newest k epoch checkpoints so --resume loses at most
+    # one interval; optionally checkpoint every save_steps optimizer steps
+    # (0 = per-epoch only); write checkpoints on a background thread.
+    keep_latest_checkpoints: int = 1
+    save_steps: int = 0
+    async_save: bool = False
     seed: int = 1234
     word_dropout: float = 0.04
     conv_l2: float = 0.0

@@ -47,6 +47,10 @@ class ShardedBatcher:
     def gold(self):
         return self.batcher.gold()
 
+    @property
+    def order(self):
+        return self.batcher.order
+
     def __len__(self) -> int:
         return len(self.batcher)
 

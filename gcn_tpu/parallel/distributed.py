@@ -54,6 +54,11 @@ def initialize(
         except RuntimeError as e:
             if "already initialized" not in str(e):
                 raise
+        except ValueError as e:
+            # single-chip environments (e.g. the axon relay) advertise TPU
+            # pod env vars without pod metadata — fall back to one process
+            if kwargs or "coordinator_address" not in str(e):
+                raise
     _initialized = True
 
 

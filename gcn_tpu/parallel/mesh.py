@@ -81,6 +81,39 @@ def param_shardings(mesh: Mesh, params: dict) -> dict:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def opt_shardings(mesh: Mesh, opt_state, params):
+    """Place optimizer state WITH its parameters.
+
+    Optax state trees embed parameter-shaped subtrees (Adagrad/Adam moment
+    accumulators keyed by the same nested names).  Any state leaf whose
+    trailing path components + shape match a parameter gets that
+    parameter's sharding; scalars/counters replicate.  A vocab-sharded
+    embedding therefore shards its accumulator too — replicating it would
+    forfeit the memory saving.
+    """
+    p_shard = param_shardings(mesh, params)
+    by_path: dict[tuple, NamedSharding] = {}
+    for (path, leaf), (_, shard) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(p_shard)[0],
+    ):
+        keys = tuple(str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path)
+        by_path[keys] = (np.shape(leaf), shard)
+
+    def rule(path, leaf):
+        keys = tuple(str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path)
+        nd = np.ndim(leaf)
+        for plen in range(len(keys), 0, -1):
+            hit = by_path.get(keys[-plen:])
+            if hit and hit[0] == np.shape(leaf):
+                return hit[1]
+        return NamedSharding(mesh, P(*([None] * nd)))
+
+    return jax.tree_util.tree_map_with_path(rule, opt_state)
+
+
 def replicated(mesh: Mesh, tree):
     return jax.tree.map(
         lambda leaf: NamedSharding(mesh, P(*([None] * np.ndim(leaf)))),

@@ -18,7 +18,11 @@ from jax.sharding import Mesh
 
 from gcn_tpu.config import Config
 from gcn_tpu.models.gcn import GCNClassifier
-from gcn_tpu.parallel.mesh import batch_shardings, param_shardings, replicated
+from gcn_tpu.parallel.mesh import (
+    batch_shardings,
+    opt_shardings,
+    param_shardings,
+)
 from gcn_tpu.train.trainer import conv_l2_penalty
 
 
@@ -63,7 +67,7 @@ def make_sharded_train_step(
     """
     loss_fn = make_loss_fn(model, cfg)
     p_shard = param_shardings(mesh, params)
-    o_shard = replicated(mesh, opt_state)
+    o_shard = opt_shardings(mesh, opt_state, params)
     b_shard = batch_shardings(mesh, example_batch)
 
     placed_params = jax.device_put(params, p_shard)

@@ -19,10 +19,14 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Optional
 
 import jax
 from flax import serialization
+
+_async_lock = threading.Lock()
+_async_thread: Optional[threading.Thread] = None
 
 
 def save_checkpoint(
@@ -31,26 +35,54 @@ def save_checkpoint(
     opt_state: Any = None,
     config: Optional[dict] = None,
     meta: Optional[dict] = None,
+    async_save: bool = False,
 ) -> None:
-    directory = os.path.abspath(directory)
-    parent = os.path.dirname(directory)
-    os.makedirs(parent, exist_ok=True)
-    tmp = directory + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    """Atomic checkpoint write (tmp dir + rename).
+
+    ``async_save=True`` fetches the state to host synchronously (cheap —
+    device→host DMA of a few MB) and runs serialization + file IO on a
+    background thread so the train loop never blocks on disk.  Writes are
+    serialized with a lock; call ``wait_for_async_saves()`` before reading
+    a checkpoint back or exiting.
+    """
     params = jax.device_get(params)
-    with open(os.path.join(tmp, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(params))
     if opt_state is not None:
-        with open(os.path.join(tmp, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(opt_state)))
-    blob = {"config": config or {}, "meta": meta or {}}
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump(blob, f, indent=2, default=str)
-    if os.path.exists(directory):
-        shutil.rmtree(directory)
-    os.rename(tmp, directory)
+        opt_state = jax.device_get(opt_state)
+
+    def write():
+        with _async_lock:
+            d = os.path.abspath(directory)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            tmp = d + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, "params.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(params))
+            if opt_state is not None:
+                with open(os.path.join(tmp, "opt_state.msgpack"), "wb") as f:
+                    f.write(serialization.to_bytes(opt_state))
+            blob = {"config": config or {}, "meta": meta or {}}
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(blob, f, indent=2, default=str)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+            os.rename(tmp, d)
+
+    if async_save:
+        global _async_thread
+        t = threading.Thread(target=write, daemon=True)
+        _async_thread = t
+        t.start()
+    else:
+        write()
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write has landed."""
+    t = _async_thread
+    if t is not None:
+        t.join()
 
 
 def load_checkpoint(

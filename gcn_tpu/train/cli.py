@@ -67,6 +67,12 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--log_step", type=int, default=20)
     p.add_argument("--log", type=str, default="logs.txt")
     p.add_argument("--save_epoch", type=int, default=100)
+    p.add_argument("--keep_latest_checkpoints", type=int, default=1,
+                   help="Always retain the newest k epoch checkpoints (elastic recovery).")
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="Also checkpoint every N optimizer steps (0 = per-epoch only).")
+    p.add_argument("--async_save", type=str2bool, default=False,
+                   help="Write checkpoints on a background thread.")
     p.add_argument("--id", type=str, default="00")
     p.add_argument("--info", type=str, default="")
     p.add_argument("--seed", type=int, default=1234)
@@ -160,6 +166,9 @@ def args_to_config(args: argparse.Namespace) -> Config:
     t.max_grad_norm = args.max_grad_norm
     t.log_step = args.log_step
     t.save_epoch = args.save_epoch
+    t.keep_latest_checkpoints = args.keep_latest_checkpoints
+    t.save_steps = args.save_steps
+    t.async_save = args.async_save
     t.seed = args.seed
     t.word_dropout = args.word_dropout
     t.conv_l2 = args.conv_l2

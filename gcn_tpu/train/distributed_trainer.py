@@ -21,7 +21,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_tpu.config import Config
-from gcn_tpu.parallel.mesh import make_mesh, param_shardings, replicated
+from gcn_tpu.parallel.mesh import (
+    make_mesh,
+    opt_shardings,
+    param_shardings,
+    replicated,
+)
 from gcn_tpu.train.trainer import Trainer
 
 
@@ -43,23 +48,27 @@ class DistributedTrainer(Trainer):
                 model_axis = 1
             mesh = make_mesh(data=n // model_axis, model=model_axis)
         self.mesh = mesh
-        self.params = jax.device_put(
-            self.params, param_shardings(mesh, self.params)
+        self._place_state()
+
+    def _place_tree(self, tree, shardings):
+        return jax.device_put(tree, shardings)
+
+    def _place_state(self) -> None:
+        self.params = self._place_tree(
+            self.params, param_shardings(self.mesh, self.params)
         )
-        self.opt_state = jax.device_put(
-            self.opt_state, replicated(mesh, self.opt_state)
+        # optimizer state shards with its parameters (a vocab-sharded
+        # embedding with replicated Adagrad accumulators would save nothing)
+        self.opt_state = self._place_tree(
+            self.opt_state,
+            opt_shardings(self.mesh, self.opt_state, self.params),
         )
 
     def load(self, directory: str, load_opt_state: bool = True) -> dict:
         # restore then re-apply mesh placement (deserialized leaves are
         # plain host arrays and would otherwise land replicated)
         meta = super().load(directory, load_opt_state)
-        self.params = jax.device_put(
-            self.params, param_shardings(self.mesh, self.params)
-        )
-        self.opt_state = jax.device_put(
-            self.opt_state, replicated(self.mesh, self.opt_state)
-        )
+        self._place_state()
         return meta
 
     def _place_batch(self, batch: dict) -> dict:
@@ -91,3 +100,84 @@ class DistributedTrainer(Trainer):
                     yield batch
 
         return super().evaluate(place(batches))
+
+
+class MultiHostTrainer(DistributedTrainer):
+    """Multi-process SPMD trainer (≥2 hosts under ``jax.distributed``).
+
+    Each process feeds its slice of every global batch
+    (``data.sharding.ShardedBatcher``); slices are assembled into global
+    arrays with ``make_array_from_process_local_data`` and the inherited
+    jitted steps run one SPMD program across all hosts.  Eval results are
+    all-gathered so every process scores the full split (process 0 writes
+    artifacts — see the driver).  New surface: the reference is strictly
+    single-process (reference ``train.py:93-94``).
+    """
+
+    def _place_tree(self, tree, shardings):
+        # device_put cannot target non-addressable devices; build global
+        # arrays from the (identical) host copies instead
+        def put(x, s):
+            host = np.asarray(jax.device_get(x))
+            return jax.make_array_from_callback(
+                host.shape, s, lambda idx: host[idx]
+            )
+
+        return jax.tree.map(put, tree, shardings)
+
+    def _place_batch(self, batch: dict) -> dict:
+        from gcn_tpu.data.sharding import global_batch_from_local
+
+        return global_batch_from_local(self.mesh, batch)
+
+    def update(self, batch: dict):
+        return Trainer.update(self, self._place_batch(batch))
+
+    def _host_replicated(self, tree):
+        """Reshard a (possibly cross-host sharded) tree to fully
+        replicated so every process holds addressable copies."""
+        return jax.jit(
+            lambda t: t, out_shardings=replicated(self.mesh, tree)
+        )(tree)
+
+    def predict_batch(self, batch: dict):
+        from jax.experimental import multihost_utils
+
+        placed = self._place_batch(batch)
+        probs, loss = self._forward_eval(self.params, placed)
+        probs = multihost_utils.process_allgather(probs, tiled=True)
+        mask = np.concatenate(
+            multihost_utils.process_allgather(
+                np.asarray(batch["example_mask"])
+            )
+        ) if jax.process_count() > 1 else np.asarray(batch["example_mask"])
+        preds = probs.argmax(axis=1)
+        return preds[mask].tolist(), probs[mask].tolist(), float(loss)
+
+    def evaluate(self, batches):
+        all_preds: list[int] = []
+        all_probs: list[list[float]] = []
+        total_loss = 0.0
+        n = 0
+        for batch in batches:
+            preds, probs, loss = self.predict_batch(batch)
+            all_preds.extend(preds)
+            all_probs.extend(probs)
+            total_loss += loss
+            n += len(preds)
+        avg = total_loss / max(n, 1) * self.cfg.train.batch_size
+        return all_preds, all_probs, avg
+
+    def save(self, directory: str, epoch=None, extra_meta=None) -> None:
+        # gather shards so process 0 can serialize the full state
+        params, opt_state = self.params, self.opt_state
+        self.params = self._host_replicated(self.params)
+        self.opt_state = self._host_replicated(self.opt_state)
+        try:
+            if jax.process_index() == 0:
+                super().save(directory, epoch=epoch, extra_meta=extra_meta)
+        finally:
+            self.params, self.opt_state = params, opt_state
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt:{directory}")

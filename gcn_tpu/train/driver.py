@@ -47,20 +47,58 @@ def load_word_embeddings(cfg: Config, vocab: Vocab):
 
 
 def find_latest_checkpoint(run_dir: str) -> str | None:
-    """Most recent epoch checkpoint in a run directory, else best_model."""
+    """Most recent checkpoint in a run directory (step checkpoints beat
+    their epoch's checkpoint by global step), else best_model."""
     if not os.path.isdir(run_dir):
         return None
-    epochs = []
+    best_key, best_name = None, None
     for name in os.listdir(run_dir):
-        if name.startswith("checkpoint_epoch_"):
+        for prefix, kind in (("checkpoint_epoch_", 0),
+                             ("checkpoint_step_", 1)):
+            if not name.startswith(prefix) or name.endswith(".tmp"):
+                continue
             try:
-                epochs.append((int(name.rsplit("_", 1)[1]), name))
+                num = int(name.rsplit("_", 1)[1])
             except ValueError:
                 continue
-    if epochs:
-        return os.path.join(run_dir, max(epochs)[1])
+            try:
+                with open(os.path.join(run_dir, name, "meta.json")) as f:
+                    import json as _json
+
+                    meta = _json.load(f).get("meta", {})
+                step = int(meta.get("global_step") or 0)
+                epoch = int(meta.get("epoch") or num)
+            except OSError:
+                continue
+            key = (step, epoch, kind)
+            if best_key is None or key > best_key:
+                best_key, best_name = key, name
+    if best_name:
+        return os.path.join(run_dir, best_name)
     best = os.path.join(run_dir, "best_model")
     return best if os.path.isdir(best) else None
+
+
+def prune_checkpoints(run_dir: str, epoch: int, save_epoch: int,
+                      keep_latest: int = 1) -> None:
+    """Reference retention (keep ``save_epoch`` multiples,
+    ``train.py:336-337``) plus: always keep the newest ``keep_latest``
+    epoch checkpoints, so ``--resume`` never falls back a full run."""
+    epochs = []
+    for name in os.listdir(run_dir):
+        if name.startswith("checkpoint_epoch_") and not name.endswith(".tmp"):
+            try:
+                epochs.append(int(name.rsplit("_", 1)[1]))
+            except ValueError:
+                continue
+    keep = set(sorted(epochs)[-max(keep_latest, 0):]) if keep_latest else set()
+    for e in epochs:
+        if e % save_epoch != 0 and e not in keep:
+            rmtree(os.path.join(run_dir, f"checkpoint_epoch_{e}"))
+    # a completed epoch supersedes its in-flight step checkpoints
+    for name in list(os.listdir(run_dir)):
+        if name.startswith("checkpoint_step_") and not name.endswith(".tmp"):
+            rmtree(os.path.join(run_dir, name))
 
 
 def run_training(
@@ -70,6 +108,12 @@ def run_training(
     profile_dir: str | None = None,
     resume: bool = False,
 ) -> dict:
+    # multi-host bootstrap FIRST (before anything touches the jax backend);
+    # no-op unless the env (GCN_TPU_COORDINATOR / TPU pod vars) is set
+    from gcn_tpu.parallel import distributed
+
+    distributed.initialize()
+
     C = constants_for(cfg.model.dataset)
     np.random.seed(cfg.train.seed)
 
@@ -106,21 +150,38 @@ def run_training(
     dev_batcher = Batcher(dev_ds, bs, evaluation=True) if dev_ds else None
     test_batcher = Batcher(test_ds, bs, evaluation=True)
 
+    import jax
+
+    is_chief = jax.process_index() == 0
+
     model_id = cfg.id if len(cfg.id) > 1 else "0" + cfg.id
     run_dir = os.path.join(cfg.model_save_dir, model_id)
-    ensure_dir(run_dir)
-    cfg.save(os.path.join(run_dir, "config.json"))
-    vocab.save(os.path.join(run_dir, "vocab.pkl"))
+    if is_chief:
+        ensure_dir(run_dir)
+        cfg.save(os.path.join(run_dir, "config.json"))
+        vocab.save(os.path.join(run_dir, "vocab.pkl"))
     file_logger = FileLogger(
         os.path.join(run_dir, cfg.log),
         header="# epoch\ttrain_loss\tdev_loss\tdev_score\tbest_dev_score",
         append=resume,
-    )
-    print_config(cfg.to_dict())
+    ) if is_chief else None
+    if is_chief:
+        print_config(cfg.to_dict())
 
-    import jax
+    if jax.process_count() > 1:
+        # multi-host: one SPMD program over all processes' devices; every
+        # process feeds its slice of each global batch
+        from gcn_tpu.data.sharding import ShardedBatcher
+        from gcn_tpu.train.distributed_trainer import MultiHostTrainer
 
-    if len(jax.devices()) > 1:
+        print(f"Multi-host training: {distributed.runtime_info()}")
+        trainer = MultiHostTrainer(cfg, emb_matrix=emb_matrix)
+        train_batcher = ShardedBatcher(train_batcher)
+        train_eval_batcher = ShardedBatcher(train_eval_batcher)
+        if dev_batcher is not None:
+            dev_batcher = ShardedBatcher(dev_batcher)
+        test_batcher = ShardedBatcher(test_batcher)
+    elif len(jax.devices()) > 1:
         from gcn_tpu.train.distributed_trainer import DistributedTrainer
 
         print(f"Using DistributedTrainer over {len(jax.devices())} devices")
@@ -128,19 +189,30 @@ def run_training(
     else:
         trainer = Trainer(cfg, emb_matrix=emb_matrix)
     start_epoch = 1
+    skip_batches = 0
+    resumed_step = 0
     resumed_best = None
     if resume:
         # elastic recovery: pick up the newest checkpoint in the run dir
         # (params + optimizer state + lr + epoch + best metrics; the
         # reference could only warm-start weights manually and lost the
-        # epoch counter and optimizer — train.py:186-195)
+        # epoch counter and optimizer — train.py:186-195).  Step
+        # checkpoints (save_steps > 0) resume MID-epoch: batch order is
+        # fixed per run (reference data/loader.py:31-41 semantics), so the
+        # already-consumed batches are skipped exactly.
         latest = find_latest_checkpoint(run_dir)
         if latest:
             meta = trainer.load(latest)
-            start_epoch = int(meta.get("epoch") or 0) + 1
+            resumed_step = int(meta.get("global_step") or 0)
+            if meta.get("step_in_epoch") is not None:
+                start_epoch = max(int(meta.get("epoch") or 1), 1)
+                skip_batches = int(meta["step_in_epoch"])
+            else:
+                start_epoch = int(meta.get("epoch") or 0) + 1
             resumed_best = meta.get("best_metrics")
             print(f"Resumed from {latest}; continuing at epoch "
-                  f"{start_epoch}")
+                  f"{start_epoch}"
+                  + (f" batch {skip_batches}" if skip_batches else ""))
         else:
             print(f"No checkpoint found in {run_dir}; starting fresh")
     if load_from:
@@ -156,7 +228,7 @@ def run_training(
     best_metrics = {"f1": -np.inf, "precision": -np.inf, "recall": -np.inf}
     test_at_best = dict(best_metrics)
     current_lr = cfg.train.lr
-    global_step = 0
+    global_step = resumed_step
     max_steps = len(train_batcher) * cfg.train.num_epoch
     fmt = ("{}: step {}/{} (epoch {}/{}), loss = {:.6f} "
            "({:.3f} sec/batch), lr: {:.6f}")
@@ -179,6 +251,8 @@ def run_training(
         epoch_losses = []  # device scalars: converted once per epoch so the
         meter.start()      # step loop never blocks on a device round-trip
         for i, batch in enumerate(train_batcher):
+            if epoch == start_epoch and i < skip_batches:
+                continue  # consumed before the resume point
             start = time.time()
             global_step += 1
             if profile_dir and not profiled and global_step == 3:
@@ -198,15 +272,33 @@ def run_training(
                     cfg.train.num_epoch, float(loss), time.time() - start,
                     current_lr,
                 ) + f" [{meter.summary()}]")
+            if (cfg.train.save_steps
+                    and global_step % cfg.train.save_steps == 0):
+                step_dir = os.path.join(
+                    run_dir, f"checkpoint_step_{global_step}"
+                )
+                trainer.save(step_dir, epoch=epoch, extra_meta={
+                    "best_metrics": best_metrics, "step_in_epoch": i + 1,
+                })
+                if is_chief:
+                    from gcn_tpu.train import checkpoint as _ckpt
+
+                    _ckpt.wait_for_async_saves()
+                    for name in os.listdir(run_dir):
+                        if (name.startswith("checkpoint_step_")
+                                and not name.endswith(".tmp")
+                                and name != f"checkpoint_step_{global_step}"):
+                            rmtree(os.path.join(run_dir, name))
         trainer.flush_gradients()
         train_loss = float(np.sum(np.asarray(
             [float(l) for l in epoch_losses])))
 
         # deprel embedding snapshot (reference train.py:239-241)
-        with open(os.path.join(run_dir, "deprel_embs.pkl"), "wb") as f:
-            pickle.dump(
-                np.asarray(trainer.params["params"]["deprel_emb"]), f
-            )
+        if is_chief:
+            with open(os.path.join(run_dir, "deprel_embs.pkl"), "wb") as f:
+                pickle.dump(
+                    np.asarray(trainer.params["params"]["deprel_emb"]), f
+                )
 
         print("Evaluating on train set...")
         train_labels, train_eval_loss, train_m = run_eval(train_eval_batcher)
@@ -224,11 +316,12 @@ def run_training(
             dev_labels, dev_loss, dev_m = train_labels, train_eval_loss, train_m
 
         selection_score = dev_m["f1"]
-        file_logger.log(
-            f"{epoch}\t{train_loss:.6f}\t{dev_loss:.6f}\t"
-            f"{selection_score:.4f}\t"
-            f"{max([selection_score] + selection_history):.4f}"
-        )
+        if file_logger:
+            file_logger.log(
+                f"{epoch}\t{train_loss:.6f}\t{dev_loss:.6f}\t"
+                f"{selection_score:.4f}\t"
+                f"{max([selection_score] + selection_history):.4f}"
+            )
 
         print("Evaluating on test set...")
         test_labels, _, test_m = run_eval(test_batcher)
@@ -240,18 +333,19 @@ def run_training(
             trainer.save(os.path.join(run_dir, "best_model"), epoch=epoch,
                          extra_meta={"best_metrics": best_metrics})
             print("new best model saved.")
-            file_logger.log(
-                "new best model saved at epoch {}: {:.2f}\t{:.2f}\t{:.2f}"
-                .format(epoch, test_m["precision"] * 100,
-                        test_m["recall"] * 100, test_m["f1"] * 100)
-            )
+            if file_logger:
+                file_logger.log(
+                    "new best model saved at epoch {}: {:.2f}\t{:.2f}\t{:.2f}"
+                    .format(epoch, test_m["precision"] * 100,
+                            test_m["recall"] * 100, test_m["f1"] * 100)
+                )
             # confusion matrices + misclassified dumps (train.py:296-319,
             # written into the run dir rather than the dataset dir)
             for split, labels, batcher, ds in (
                 ("test", test_labels, test_batcher, test_ds),
                 ("dev", dev_labels, dev_batcher, dev_ds),
             ):
-                if batcher is None:
+                if batcher is None or not is_chief:
                     continue
                 gold = np.array(batcher.gold())
                 pred = np.array(labels)
@@ -281,8 +375,14 @@ def run_training(
         ckpt_dir = os.path.join(run_dir, f"checkpoint_epoch_{epoch}")
         trainer.save(ckpt_dir, epoch=epoch,
                      extra_meta={"best_metrics": best_metrics})
-        if epoch % cfg.train.save_epoch != 0:
-            rmtree(ckpt_dir)
+        if is_chief:
+            from gcn_tpu.train import checkpoint as _ckpt
+
+            _ckpt.wait_for_async_saves()
+            prune_checkpoints(
+                run_dir, epoch, cfg.train.save_epoch,
+                keep_latest=cfg.train.keep_latest_checkpoints,
+            )
 
         # plateau LR decay (train.py:340-343)
         if (

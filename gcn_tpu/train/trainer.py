@@ -241,9 +241,11 @@ class Trainer:
             self.opt_state,
             config=self.cfg.to_dict(),
             meta=meta,
+            async_save=self.cfg.train.async_save,
         )
 
     def load(self, directory: str, load_opt_state: bool = True) -> dict:
+        ckpt.wait_for_async_saves()
         params, opt_state, blob = ckpt.load_checkpoint(
             directory, self.params,
             self.opt_state if load_opt_state else None,

@@ -50,3 +50,68 @@ def test_two_process_distributed():
         assert line, out
         checksums.add(line[0].split("checksum=")[1])
     assert len(checksums) == 1  # both processes agree on the global sum
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(tmp_path):
+    """Actually TRAIN across 2 processes via the real CLI (the driver's
+    multi-host path: MultiHostTrainer + ShardedBatcher + global batch
+    assembly) and match the single-process loss trajectory."""
+    base = [
+        sys.executable, "train.py", "--cpu", "--no-rnn",
+        "--hidden_dim", "16", "--emb_dim", "300", "--batch_size", "10",
+        "--effective_batch_size", "10", "--num_epoch", "2",
+        "--seed", "7",
+    ]
+
+    def logs(run_dir):
+        with open(os.path.join(run_dir, "logs.txt")) as f:
+            return [
+                ln.split("\t") for ln in f.read().splitlines()
+                if ln and not ln.startswith(("#", "new best"))
+            ]
+
+    # single-process baseline
+    env1 = dict(os.environ, JAX_PLATFORMS="")
+    env1.pop("XLA_FLAGS", None)
+    env1.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        base + ["--id", "sp", "--model_save_dir", str(tmp_path / "sp")],
+        capture_output=True, text=True, timeout=420, env=env1,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    # 2-process run
+    port = free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env1,
+            GCN_TPU_COORDINATOR=f"localhost:{port}",
+            GCN_TPU_NUM_PROCS="2",
+            GCN_TPU_PROC_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            base + ["--id", "mp", "--model_save_dir", str(tmp_path / "mp")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    for p in procs:
+        out2, err2 = p.communicate(timeout=420)
+        assert p.returncode == 0, (err2[-2000:], out2[-500:])
+        assert "Multi-host training" in out2
+        assert "Training ended" in out2
+
+    sp = logs(os.path.join(tmp_path, "sp", "sp"))
+    mp = logs(os.path.join(tmp_path, "mp", "mp"))
+    assert len(sp) == len(mp) == 2
+    for row_s, row_m in zip(sp, mp):
+        # same epochs; train loss and dev F1 agree closely (identical
+        # batches and RNG; only reduction order differs)
+        assert row_s[0] == row_m[0]
+        assert abs(float(row_s[1]) - float(row_m[1])) < 1e-3 * max(
+            1.0, abs(float(row_s[1]))
+        ), (row_s, row_m)
+        assert abs(float(row_s[3]) - float(row_m[3])) < 1e-6, (row_s, row_m)
+    # only process 0 writes artifacts; checkpoints exist and load
+    assert os.path.isdir(os.path.join(tmp_path, "mp", "mp", "best_model"))

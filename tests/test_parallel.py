@@ -144,3 +144,46 @@ def test_distributed_trainer_end_to_end():
     p2, _, loss2 = t2.predict_batch(batch)
     assert p1 == p2
     assert abs(loss1 - loss2) < 1e-4
+
+
+def test_opt_state_sharded_with_params():
+    """Optimizer accumulators must carry their parameter's sharding
+    (a vocab-sharded embedding with replicated Adagrad state saves
+    nothing): every opt-state leaf shaped like a sharded param is sharded
+    identically, and its per-device shard is 1/axis of the full array."""
+    from gcn_tpu.parallel.mesh import opt_shardings, param_shardings
+    from gcn_tpu.train.optim import build_optimizer
+
+    cfg = graft._flagship_cfg(tiny=True)
+    batch = graft._synthetic_batch(cfg, b=8, n=16)
+    from gcn_tpu.models.gcn import GCNClassifier
+
+    model = GCNClassifier(cfg.model)
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, True,
+    )
+    tx = build_optimizer("adagrad", 0.1)
+    opt_state = tx.init(params)
+    mesh = make_mesh(data=2, model=4)
+    oshard = opt_shardings(mesh, opt_state, params)
+    pshard = param_shardings(mesh, params)
+
+    emb_spec = pshard["params"]["word_emb"].spec
+    assert emb_spec == jax.sharding.PartitionSpec("model", None)
+    hits = [
+        s for (path, s)
+        in jax.tree_util.tree_flatten_with_path(oshard)[0]
+        if any(getattr(k, "key", None) == "word_emb" for k in path)
+    ]
+    assert hits and all(s.spec == emb_spec for s in hits)
+
+    placed = jax.device_put(opt_state, oshard)
+    leaf = None
+    for (path, x) in jax.tree_util.tree_flatten_with_path(placed)[0]:
+        if any(getattr(k, "key", None) == "word_emb" for k in path):
+            leaf = x
+            break
+    assert leaf is not None
+    shard = leaf.addressable_shards[0].data
+    assert shard.shape[0] == leaf.shape[0] // 4  # vocab split over model
