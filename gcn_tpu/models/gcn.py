@@ -237,6 +237,11 @@ class GCNClassifier(nn.Module):
         h = jnp.concatenate(embs, axis=2)
         h = dropout(rng() if not deterministic else None, h,
                     cfg.input_dropout, deterministic)
+        # activation taps at the reference's layer boundaries (its in_drop/
+        # rnn_drop/gcn_drop hook points, model/gcn.py:247,251,393) — read
+        # back with apply(..., mutable=["intermediates"]) for per-layer
+        # parity tests
+        self.sow("intermediates", "in_drop", h)
 
         # ------------------------------------------------------------- BiLSTM
         if cfg.rnn:
@@ -249,6 +254,7 @@ class GCNClassifier(nn.Module):
             )(h, batch["lengths"], deterministic)
             h = dropout(rng() if not deterministic else None, h,
                         cfg.rnn_dropout, deterministic)
+            self.sow("intermediates", "rnn_drop", h)
 
         if cfg.adj_type == "diagonal_deprel":
             h = TorchDense(cfg.hidden_dim, dtype=dtype, name="preprocessor")(h)
@@ -290,6 +296,15 @@ class GCNClassifier(nn.Module):
                                    (d, cfg.hidden_dim)),
                     ))
 
+        def finish_layer(h, l):
+            """Inter-layer dropout + activation tap (reference
+            ``model/gcn.py:393``: gcn_drop on every non-final layer)."""
+            if l < cfg.num_layers - 1:
+                h = dropout(rng() if not deterministic else None, h,
+                            cfg.gcn_dropout, deterministic)
+                self.sow("intermediates", "gcn_drop", h)
+            return h
+
         for l in range(cfg.num_layers):
             if cfg.adj_type == "regular":
                 t_in = h.shape[-1]
@@ -306,9 +321,7 @@ class GCNClassifier(nn.Module):
                         batch["edge_parent"], batch["edge_child"],
                         batch["edge_mask"], h, w, b,
                     )
-                    if l < cfg.num_layers - 1:
-                        h = dropout(rng() if not deterministic else None, h,
-                                    cfg.gcn_dropout, deterministic)
+                    h = finish_layer(h, l)
                     continue
                 axw = regular_layer(h, adj.combined, w, b,
                                     no_adj=cfg.no_adj)
@@ -352,9 +365,7 @@ class GCNClassifier(nn.Module):
                 # W(h) term)
                 axw = agg + hw + b
                 h = jax.nn.relu(axw)
-                if l < cfg.num_layers - 1:
-                    h = dropout(rng() if not deterministic else None, h,
-                                cfg.gcn_dropout, deterministic)
+                h = finish_layer(h, l)
                 continue
             elif cfg.adj_type == "diagonal_deprel":
                 e_fwd = self._deprel_lookup(deprel_table, deprel)
@@ -374,9 +385,7 @@ class GCNClassifier(nn.Module):
                         e_fwd * h, e_rev * h,
                         jnp.broadcast_to(e_self * h, h.shape),
                     )
-                    if l < cfg.num_layers - 1:
-                        h = dropout(rng() if not deterministic else None, h,
-                                    cfg.gcn_dropout, deterministic)
+                    h = finish_layer(h, l)
                     continue
                 axw = diagonal_deprel_layer(h, adj.forward, e_fwd, e_rev,
                                             e_self)
@@ -395,9 +404,7 @@ class GCNClassifier(nn.Module):
                         batch["edge_parent"], batch["edge_child"],
                         batch["edge_mask"], x_f, x_r, x_s,
                     )
-                    if l < cfg.num_layers - 1:
-                        h = dropout(rng() if not deterministic else None, h,
-                                    cfg.gcn_dropout, deterministic)
+                    h = finish_layer(h, l)
                     continue
                 axw = self._full_deprel(
                     h, adj, deprel_table, deprel, l, w, b, dtype,
@@ -408,9 +415,7 @@ class GCNClassifier(nn.Module):
 
             axw = axw / denom
             h = jax.nn.relu(axw)
-            if l < cfg.num_layers - 1:
-                h = dropout(rng() if not deterministic else None, h,
-                            cfg.gcn_dropout, deterministic)
+            h = finish_layer(h, l)
 
         # ------------------------------------------------------------ pooling
         kind = cfg.pooling

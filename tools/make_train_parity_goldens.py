@@ -1,0 +1,94 @@
+"""Training-trajectory parity fixtures: RUN the reference training step
+(forward + backward + clip + MyAdagrad) for N steps on the checked-in
+sample data with a deterministic config (all dropout off) and snapshot the
+initial weights + per-step losses.
+
+tests/test_train_parity.py replays the identical schedule in gcn_tpu from
+the same initial weights and asserts the loss trajectories match — the
+acceptance evidence that the TRAINING path (autograd + optimizer + clip),
+not just eval-mode inference, reproduces the reference (VERDICT round-1
+"What's missing" #1).
+
+    python tools/make_train_parity_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+OUT = os.path.join(REPO, "tests", "goldens")
+sys.path.insert(0, REF)
+sys.path.insert(0, REPO)
+
+import torch  # noqa: E402
+
+from tools.make_goldens import BASE_OPT, build_batch, load_samples  # noqa: E402
+
+from model.gcn import GCNClassifier  # noqa: E402
+from utils.torch_utils import MyAdagrad  # noqa: E402
+
+STEPS = 25
+LR = 0.1
+
+
+def main():
+    exs = load_samples()[:8]
+    maxlen = max(len(e["stanford_head"]) for e in exs)
+    batch_np = build_batch(exs, BASE_OPT["vocab_size"], maxlen)
+    labels_np = np.random.RandomState(11).randint(0, 42, len(exs))
+    configs = {
+        "train_regular": dict(BASE_OPT),
+        "train_full_rnn": dict(BASE_OPT, adj_type="full_deprel", rnn=True,
+                               rnn_hidden=20, hidden_dim=40),
+    }
+    for name, opt in configs.items():
+        torch.manual_seed(hash(name) % (2**31))
+        model = GCNClassifier(opt)
+        model.train()
+        init_state = {
+            k: v.detach().numpy().copy()
+            for k, v in model.state_dict().items()
+        }
+        criterion = torch.nn.CrossEntropyLoss()
+        # the reference's adagrad flavor: TF-style 0.1 init accumulator
+        # (utils/torch_utils.py:10-90, selected at :97-99)
+        optimizer = MyAdagrad(
+            [p for p in model.parameters() if p.requires_grad],
+            lr=LR, init_accu_value=0.1,
+        )
+        t = {k: torch.from_numpy(v) for k, v in batch_np.items()}
+        inputs = (t["words"], t["masks"], t["pos"], t["ner"], t["deprel"],
+                  t["head"], t["subj_pos"], t["obj_pos"])
+        labels = torch.from_numpy(labels_np)
+
+        losses = []
+        for _ in range(STEPS):
+            optimizer.zero_grad()
+            logits, pooled = model(inputs)
+            loss = criterion(logits, labels)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
+            optimizer.step()
+            losses.append(float(loss))
+
+        payload = {f"state.{k}": v for k, v in init_state.items()}
+        payload.update({f"in.{k}": v for k, v in batch_np.items()})
+        payload["in.labels"] = labels_np
+        payload["losses"] = np.asarray(losses, np.float64)
+        payload["lr"] = np.asarray(LR)
+        payload["opt"] = np.frombuffer(
+            json.dumps(opt).encode(), dtype=np.uint8
+        )
+        np.savez_compressed(os.path.join(OUT, f"{name}.npz"), **payload)
+        print(name, "losses:", [round(x, 4) for x in losses[:5]], "...",
+              round(losses[-1], 4))
+
+
+if __name__ == "__main__":
+    main()
