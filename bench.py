@@ -36,71 +36,17 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gcn_tpu.utils.timing import calibrate, chip_peak, diag, slope_time
+
 # Measured by tools/bench_reference.py on this machine (2 torch threads):
 # 2888.8 ms/step over the identical synthetic forest => 1185 edges/s.
 REFERENCE_EDGES_PER_SEC = 1185.3
-
-# TPU v5e (v5 lite) bf16 peak; used only for MFU sanity reporting.
-PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5": 459e12, "tpu v4": 275e12}
-
-
-def chip_peak() -> float:
-    kind = jax.devices()[0].device_kind.lower()
-    for k, v in PEAK_FLOPS.items():
-        if k in kind:
-            return v
-    return 197e12
-
-
-def diag(**rec) -> None:
-    print(json.dumps(rec), file=sys.stderr, flush=True)
-
-
-def slope_time(run_chain, k1: int = 20, k2: int = 60, repeats: int = 3):
-    """Per-iteration wall time as the slope between two chain lengths.
-
-    ``run_chain(k)`` must execute k data-dependent iterations and block on
-    a host fetch of the final result.  The fetch + relay round-trip is a
-    fixed cost that cancels in the difference.
-    """
-    t1 = min(timeit(run_chain, k1) for _ in range(repeats))
-    t2 = min(timeit(run_chain, k2) for _ in range(repeats))
-    return max(t2 - t1, 1e-9) / (k2 - k1)
-
-
-def timeit(run_chain, k: int) -> float:
-    t0 = time.perf_counter()
-    run_chain(k)
-    return time.perf_counter() - t0
-
-
-def calibrate() -> float:
-    """Time a known-FLOPs bf16 matmul chain; return measured/peak."""
-    n = 4096
-    x = jax.device_put(jnp.full((n, n), 1e-3, jnp.bfloat16))
-    w = jax.device_put(jnp.full((n, n), 1e-3, jnp.bfloat16))
-    mm = jax.jit(lambda a, b: jnp.dot(a, b))
-    red = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
-    float(red(mm(x, w)))  # compile + warm
-
-    def chain(k):
-        y = x
-        for _ in range(k):
-            y = mm(y, w)
-        float(red(y))
-
-    dt = slope_time(chain, 20, 60)
-    frac = 2 * n**3 / dt / chip_peak()
-    diag(record="calibration", matmul_n=n, ms=round(dt * 1e3, 4),
-         fraction_of_peak=round(frac, 3))
-    return frac
 
 
 def bench_train_step(cfg, batch, label: str):

@@ -48,6 +48,7 @@ class ModelConfig:
     rnn_hidden: int = 200
     rnn_layers: int = 1
     rnn_dropout: float = 0.5
+    rnn_unroll: int = 1           # lax.scan unroll factor for the BiLSTM
 
     # graph / aggregation
     prune_k: int = 1

@@ -97,6 +97,7 @@ class BiLSTM(nn.Module):
     num_layers: int
     dropout_rate: float
     dtype: Any = jnp.float32
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, lengths, deterministic: bool):
@@ -134,6 +135,7 @@ class BiLSTM(nn.Module):
             inter_dropout=self.dropout_rate,
             deterministic=deterministic,
             key=key,
+            unroll=self.unroll,
         )
 
 
@@ -250,6 +252,7 @@ class GCNClassifier(nn.Module):
                 num_layers=cfg.rnn_layers,
                 dropout_rate=cfg.rnn_dropout,
                 dtype=dtype,
+                unroll=cfg.rnn_unroll,
                 name="rnn",
             )(h, batch["lengths"], deterministic)
             h = dropout(rng() if not deterministic else None, h,

@@ -68,49 +68,48 @@ def _unidirectional(
     return jnp.swapaxes(ys, 0, 1)
 
 
-def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict):
+def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
+                         unroll: int = 1):
     """Both directions in ONE scan: the forward cell consumes x[t] while the
     backward cell consumes the length-reversed sequence at the same step, so
     the serial chain is T steps total instead of two back-to-back scans.
-    The two recurrent matmuls per step are independent and overlap on the
-    MXU.  Returns [B,T,2H] with zeros at padded positions."""
+    The two recurrent matmuls per step are fused into ONE batched
+    dot_general ([2,B,H] @ [2,H,4H]) — a single MXU dispatch per step
+    instead of two small ones.  ``unroll`` unrolls the scan body to cut
+    loop overhead on the serial chain.  Returns [B,T,2H] with zeros at
+    padded positions."""
     b, t, _ = x.shape
     fwd, bwd = layer["fwd"], layer["bwd"]
     h_dim = fwd["w_hh"].shape[0]
     x_rev = _reverse_by_length(x, lengths)
     xp_f = x @ fwd["w_ih"] + (fwd["b_ih"] + fwd["b_hh"])
     xp_b = x_rev @ bwd["w_ih"] + (bwd["b_ih"] + bwd["b_hh"])
-    inputs = (jnp.swapaxes(xp_f, 0, 1), jnp.swapaxes(xp_b, 0, 1))
-
-    def cell(xt, h, c, w_hh):
-        gates = xt + h @ w_hh
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = (jax.nn.sigmoid(f) * c
-                 + jax.nn.sigmoid(i) * jnp.tanh(g))
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        return h_new, c_new
+    # [T, 2, B, 4H]: both directions advance together, one stacked input.
+    inputs = jnp.stack(
+        (jnp.swapaxes(xp_f, 0, 1), jnp.swapaxes(xp_b, 0, 1)), axis=1
+    )
+    w_hh = jnp.stack((fwd["w_hh"], bwd["w_hh"]))  # [2, H, 4H]
 
     def step(carry, inp):
-        hf, cf, hb, cb, idx = carry
-        xf, xb = inp
-        hf2, cf2 = cell(xf, hf, cf, fwd["w_hh"])
-        hb2, cb2 = cell(xb, hb, cb, bwd["w_hh"])
-        valid = (idx < lengths)[:, None]
-        zero = jnp.zeros((), hf2.dtype)
-        yf = jnp.where(valid, hf2, zero)
-        yb = jnp.where(valid, hb2, zero)
-        hf = jnp.where(valid, hf2, hf)
-        cf = jnp.where(valid, cf2, cf)
-        hb = jnp.where(valid, hb2, hb)
-        cb = jnp.where(valid, cb2, cb)
-        return (hf, cf, hb, cb, idx + 1), (yf, yb)
+        h, c, idx = carry                          # h, c: [2, B, H]
+        gates = inp + jax.lax.dot_general(
+            h, w_hh, (((2,), (1,)), ((0,), (0,)))
+        )                                          # [2, B, 4H]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        valid = (idx < lengths)[None, :, None]
+        y = jnp.where(valid, h_new, jnp.zeros((), h_new.dtype))
+        h = jnp.where(valid, h_new, h)
+        c = jnp.where(valid, c_new, c)
+        return (h, c, idx + 1), y
 
-    zeros = jnp.zeros((b, h_dim), x.dtype)
-    _, (ys_f, ys_b_rev) = jax.lax.scan(
-        step, (zeros, zeros, zeros, zeros, jnp.int32(0)), inputs
-    )
-    y_f = jnp.swapaxes(ys_f, 0, 1)
-    y_b = _reverse_by_length(jnp.swapaxes(ys_b_rev, 0, 1), lengths)
+    zeros = jnp.zeros((2, b, h_dim), x.dtype)
+    _, ys = jax.lax.scan(
+        step, (zeros, zeros, jnp.int32(0)), inputs, unroll=unroll
+    )                                              # ys: [T, 2, B, H]
+    y_f = jnp.swapaxes(ys[:, 0], 0, 1)
+    y_b = _reverse_by_length(jnp.swapaxes(ys[:, 1], 0, 1), lengths)
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 
@@ -121,17 +120,19 @@ def bilstm(
     inter_dropout: float = 0.0,
     deterministic: bool = True,
     key: jax.Array | None = None,
+    unroll: int = 1,
 ) -> jax.Array:
     """Multi-layer BiLSTM: params is a list (one per layer) of
     ``{'fwd': {w_ih [D,4H], w_hh [H,4H], b_ih, b_hh}, 'bwd': {...}}``.
 
     ``inter_dropout`` applies between stacked layers (torch ``nn.LSTM``
     dropout semantics: all layers except the last; no-op for 1 layer).
-    Returns [B,T,2H] with zeros at padded positions.
+    ``unroll`` is forwarded to the scan.  Returns [B,T,2H] with zeros at
+    padded positions.
     """
     h = x
     for li, layer in enumerate(params):
-        h = _bidirectional_fused(h, lengths, layer)
+        h = _bidirectional_fused(h, lengths, layer, unroll=unroll)
         if li < len(params) - 1 and inter_dropout > 0.0:
             key, sub = jax.random.split(key)
             h = dropout(sub, h, inter_dropout, deterministic)

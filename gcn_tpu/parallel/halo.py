@@ -156,17 +156,35 @@ def _scatter_local(h_ext, dst, src, mask, slab):
     return out.at[bidx, dst].add(msgs, mode="drop")
 
 
+def _checksum_guard(sent_sum, recv_sum):
+    """Host-side assertion that the exchanged-feature checksums agree."""
+    if not np.allclose(sent_sum, recv_sum, rtol=1e-5, atol=1e-5):
+        raise FloatingPointError(
+            f"halo-exchange checksum mismatch: sent {sent_sum!r} != "
+            f"received {recv_sum!r} — boundary features were corrupted "
+            "in transit (SURVEY §5 cross-host checksum sanitizer)"
+        )
+
+
 def halo_aggregate(
     mesh: Mesh,
     h: jax.Array,             # [B, K·S, H] node features, sharded on nodes
     plan: HaloPlan,
     axis: str = "model",
+    debug_checksum: bool = False,
 ) -> jax.Array:
     """Sparse aggregation with node-sharded features + halo exchange.
 
     Returns the same [B, K·S, H] node-sharded layout.  Communication is one
     ``all_to_all`` of [K, B, Hp, H] boundary features; per-device live
     feature memory is ``B·(S + K·Hp)·H``.
+
+    ``debug_checksum=True`` adds the SURVEY §5 cross-host sanitizer: the
+    ``all_to_all`` permutes boundary features across devices, so the
+    psum-reduced checksum of everything sent must equal the checksum of
+    everything received; a mismatch (transport corruption, a bad exchange
+    plan) raises ``FloatingPointError`` from a host callback.  Debug only —
+    it forces an extra all-reduce and a host sync.
     """
     k, slab, hp = plan.n_devices, plan.slab, plan.halo_width
     assert mesh.shape[axis] == k, (mesh.shape, k)
@@ -204,6 +222,14 @@ def halo_aggregate(
         halo_feats = jax.lax.all_to_all(
             out_sends, axis, split_axis=0, concat_axis=0, tiled=False
         )  # [K, B, Hp, H]; row j = features from peer j, in my request order
+        if debug_checksum:
+            sent = jax.lax.psum(
+                jnp.sum(out_sends.astype(jnp.float32)), axis
+            )
+            recv = jax.lax.psum(
+                jnp.sum(halo_feats.astype(jnp.float32)), axis
+            )
+            jax.debug.callback(_checksum_guard, sent, recv)
         # local-source edges: no dependency on the collective — XLA overlaps
         out = _scatter_local(h_own, l_dst[0], l_src[0], l_mask[0], slab)
         # extended buffer: own slab ++ halo (slot S + j·Hp + i)

@@ -65,17 +65,28 @@ def param_shardings(mesh: Mesh, params: dict) -> dict:
     * classifier / MLP kernels [in, out] → output sharded.
     """
 
+    axis = mesh.shape["model"]
+
+    def sharded(leaf, dim):
+        """P with ``dim`` on 'model' — but replicate when the dimension
+        does not divide the axis (e.g. a 42-class classifier head on a
+        4-way mesh); GSPMD would reject the uneven split outright."""
+        nd = np.ndim(leaf)
+        spec = [None] * nd
+        if np.shape(leaf)[dim] % axis == 0:
+            spec[dim] = "model"
+        return NamedSharding(mesh, P(*spec))
+
     def rule(path, leaf):
         keys = [getattr(k, "key", "") for k in path]
-        name = next((k for k in keys if k), "")
         joined = "/".join(str(k) for k in keys)
         nd = np.ndim(leaf)
         if "word_emb" in joined and nd == 2:
-            return NamedSharding(mesh, P("model", None))
+            return sharded(leaf, 0)
         if "gcn_deprel_w" in joined and nd == 3:
-            return NamedSharding(mesh, P(None, None, "model"))
+            return sharded(leaf, 2)
         if ("mlp" in joined or "classifier" in joined) and nd == 2:
-            return NamedSharding(mesh, P(None, "model"))
+            return sharded(leaf, 1)
         return NamedSharding(mesh, P(*([None] * nd)))
 
     return jax.tree_util.tree_map_with_path(rule, params)

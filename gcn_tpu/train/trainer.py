@@ -202,24 +202,35 @@ class Trainer:
         where avg_loss follows the reference normalization
         (Σ batch_loss / num_examples × batch_size, ``train.py:252``).
 
-        All forward passes are enqueued before any result is pulled to the
-        host, so the loop pays device/transfer latency once, not per batch.
+        Forward passes are enqueued ahead of the host pulls with a bounded
+        window (depth 8): latency is still pipelined away, but device queue
+        depth — and therefore live device memory for eval outputs — stays
+        O(window) instead of O(dataset) at TACRED scale.
         """
-        pending = []
-        for batch in batches:
-            probs, loss = self._forward_eval(self.params, batch)
-            pending.append((probs, loss, np.asarray(batch["example_mask"])))
+        window = 8
+        pending: list[tuple] = []
         all_preds: list[int] = []
         all_probs: list[list[float]] = []
         total_loss = 0.0
         n = 0
-        for probs, loss, mask in pending:
+
+        def drain(item):
+            nonlocal total_loss, n
+            probs, loss, mask = item
             probs = np.asarray(probs)
             preds = probs.argmax(axis=1)
             all_preds.extend(preds[mask].tolist())
             all_probs.extend(probs[mask].tolist())
             total_loss += float(loss)
             n += int(mask.sum())
+
+        for batch in batches:
+            probs, loss = self._forward_eval(self.params, batch)
+            pending.append((probs, loss, np.asarray(batch["example_mask"])))
+            if len(pending) >= window:
+                drain(pending.pop(0))
+        for item in pending:
+            drain(item)
         avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
 

@@ -144,3 +144,16 @@ def test_halo_differentiable(mesh):
         lambda x: (jnp.matmul(adj.forward, x) ** 2).sum()
     )(h)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gd), atol=1e-5)
+
+
+def test_halo_checksum_sanitizer(mesh):
+    """debug_checksum mode: clean exchange passes; results identical."""
+    k = mesh.shape["model"]
+    parent, child, mask = _forest()
+    n = parent.shape[1]
+    h = jax.random.normal(jax.random.key(9), (parent.shape[0], n, 16))
+    plan = build_halo_plan(parent, child, mask, n, k)
+    hp = pad_nodes_for_axis(h, k)
+    out = halo_aggregate(mesh, hp, plan, debug_checksum=True)
+    base = halo_aggregate(mesh, hp, plan)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base))

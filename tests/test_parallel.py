@@ -187,3 +187,23 @@ def test_opt_state_sharded_with_params():
     assert leaf is not None
     shard = leaf.addressable_shards[0].data
     assert shard.shape[0] == leaf.shape[0] // 4  # vocab split over model
+
+
+def test_param_shardings_replicate_indivisible_dims():
+    """A dimension that does not divide the model axis (e.g. the 42-class
+    classifier head on a 4-way mesh) must fall back to replication instead
+    of an uneven split GSPMD would reject."""
+    from gcn_tpu.parallel.mesh import param_shardings
+
+    mesh = make_mesh(data=2, model=4)
+    params = {"params": {
+        "word_emb": {"embedding": np.zeros((128, 8), np.float32)},
+        "classifier": {"kernel": np.zeros((16, 42), np.float32)},
+        "mlp_0": {"kernel": np.zeros((16, 16), np.float32)},
+    }}
+    ps = param_shardings(mesh, params)
+    P = jax.sharding.PartitionSpec
+    assert ps["params"]["word_emb"]["embedding"].spec == P("model", None)
+    assert ps["params"]["classifier"]["kernel"].spec == P(None, None)
+    assert ps["params"]["mlp_0"]["kernel"].spec == P(None, "model")
+    jax.device_put(params, ps)  # placement must succeed
