@@ -48,7 +48,13 @@ class ModelConfig:
     rnn_hidden: int = 200
     rnn_layers: int = 1
     rnn_dropout: float = 0.5
-    rnn_unroll: int = 1           # lax.scan unroll factor for the BiLSTM
+    rnn_unroll: int = 8           # lax.scan unroll factor for the BiLSTM
+                                  # (8 measured fastest on v5e: 1.23x the
+                                  # rolled scan at B=50/N=96, tools/
+                                  # step_breakdown.py; parity-tested)
+    rnn_impl: str = "auto"        # auto | scan | pallas; auto = persistent
+                                  # Pallas kernel on TPU (measured 1.5-3.9x
+                                  # the scan fwd+bwd), lax.scan elsewhere
 
     # graph / aggregation
     prune_k: int = 1

@@ -98,6 +98,7 @@ class BiLSTM(nn.Module):
     dropout_rate: float
     dtype: Any = jnp.float32
     unroll: int = 1
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, lengths, deterministic: bool):
@@ -136,6 +137,7 @@ class BiLSTM(nn.Module):
             deterministic=deterministic,
             key=key,
             unroll=self.unroll,
+            impl=self.impl,
         )
 
 
@@ -253,6 +255,7 @@ class GCNClassifier(nn.Module):
                 dropout_rate=cfg.rnn_dropout,
                 dtype=dtype,
                 unroll=cfg.rnn_unroll,
+                impl=cfg.rnn_impl,
                 name="rnn",
             )(h, batch["lengths"], deterministic)
             h = dropout(rng() if not deterministic else None, h,

@@ -113,6 +113,30 @@ def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 
+def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict):
+    """Same contract as ``_bidirectional_fused`` but the time loop runs as
+    a persistent Pallas kernel (``ops.pallas.lstm_scan``): h/c never leave
+    VMEM, w_hh stays resident, full-BPTT backward kernel."""
+    from gcn_tpu.ops.pallas.lstm_scan import lstm_scan
+
+    b, t, _ = x.shape
+    fwd, bwd = layer["fwd"], layer["bwd"]
+    x_rev = _reverse_by_length(x, lengths)
+    xp_f = jnp.swapaxes(x @ fwd["w_ih"] + (fwd["b_ih"] + fwd["b_hh"]), 0, 1)
+    xp_b = jnp.swapaxes(
+        x_rev @ bwd["w_ih"] + (bwd["b_ih"] + bwd["b_hh"]), 0, 1
+    )
+    h_f = lstm_scan(xp_f, lengths, fwd["w_hh"])         # [T, B, H] states
+    h_b = lstm_scan(xp_b, lengths, bwd["w_hh"])
+    # frozen-carry states -> packed-output convention (zeros past length)
+    valid = (jnp.arange(t)[None, :] < lengths[:, None])[:, :, None]
+    y_f = jnp.where(valid, jnp.swapaxes(h_f, 0, 1), 0.0)
+    y_b = _reverse_by_length(
+        jnp.where(valid, jnp.swapaxes(h_b, 0, 1), 0.0), lengths
+    )
+    return jnp.concatenate([y_f, y_b], axis=-1).astype(x.dtype)
+
+
 def bilstm(
     params: list[dict],
     x: jax.Array,
@@ -121,18 +145,30 @@ def bilstm(
     deterministic: bool = True,
     key: jax.Array | None = None,
     unroll: int = 1,
+    impl: str = "scan",
 ) -> jax.Array:
     """Multi-layer BiLSTM: params is a list (one per layer) of
     ``{'fwd': {w_ih [D,4H], w_hh [H,4H], b_ih, b_hh}, 'bwd': {...}}``.
 
     ``inter_dropout`` applies between stacked layers (torch ``nn.LSTM``
     dropout semantics: all layers except the last; no-op for 1 layer).
-    ``unroll`` is forwarded to the scan.  Returns [B,T,2H] with zeros at
+    ``unroll`` is forwarded to the scan.  ``impl`` selects the time-loop
+    engine: ``"scan"`` (fused two-direction ``lax.scan``), ``"pallas"``
+    (persistent VMEM-resident kernel), or ``"auto"`` (pallas on TPU —
+    measured 1.53x the unroll-8 scan and 3.9x the rolled scan fwd+bwd at
+    B=50/T=96/H=200 — scan elsewhere).  Returns [B,T,2H] with zeros at
     padded positions.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl not in ("scan", "pallas"):
+        raise ValueError(f"unknown rnn impl: {impl}")
     h = x
     for li, layer in enumerate(params):
-        h = _bidirectional_fused(h, lengths, layer, unroll=unroll)
+        if impl == "pallas":
+            h = _bidirectional_pallas(h, lengths, layer)
+        else:
+            h = _bidirectional_fused(h, lengths, layer, unroll=unroll)
         if li < len(params) - 1 and inter_dropout > 0.0:
             key, sub = jax.random.split(key)
             h = dropout(sub, h, inter_dropout, deterministic)

@@ -54,6 +54,12 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--rnn_hidden", type=int, default=200)
     p.add_argument("--rnn_layers", type=int, default=1)
     p.add_argument("--rnn_dropout", type=float, default=0.5)
+    p.add_argument("--rnn_unroll", type=int, default=8,
+                   help="lax.scan unroll factor for the BiLSTM")
+    p.add_argument("--rnn_impl", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="BiLSTM time-loop engine (pallas = persistent "
+                        "VMEM-resident kernel)")
 
     p.add_argument("--lr", type=float, default=1.0)
     p.add_argument("--lr_decay", type=float, default=0.9)
@@ -137,6 +143,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.rnn_hidden = args.rnn_hidden
     m.rnn_layers = args.rnn_layers
     m.rnn_dropout = args.rnn_dropout
+    m.rnn_unroll = args.rnn_unroll
+    m.rnn_impl = args.rnn_impl
     m.prune_k = args.prune_k
     m.adj_type = args.adj_type
     m.deprel_emb_dim = args.deprel_emb_dim
