@@ -37,37 +37,6 @@ def _reverse_by_length(x: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(valid[:, :, None], gathered, jnp.zeros((), x.dtype))
 
 
-def _unidirectional(
-    x: jax.Array, lengths: jax.Array, w_ih, w_hh, b_ih, b_hh
-) -> jax.Array:
-    """One direction over [B,T,D] → [B,T,H]; padded outputs are 0."""
-    b, t, _ = x.shape
-    h_dim = w_hh.shape[0]
-    xp = x @ w_ih + (b_ih + b_hh)  # [B,T,4H]
-    xp_t = jnp.swapaxes(xp, 0, 1)  # time-major for scan
-
-    def step(carry, inp):
-        h, c, step_idx = carry
-        xt = inp
-        gates = xt + h @ w_hh
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        valid = (step_idx < lengths)[:, None]
-        h2 = jnp.where(valid, h_new, h)
-        c2 = jnp.where(valid, c_new, c)
-        y = jnp.where(valid, h_new, jnp.zeros((), h_new.dtype))
-        return (h2, c2, step_idx + 1), y
-
-    zeros = jnp.zeros((b, h_dim), dtype=x.dtype)
-    (_, _, _), ys = jax.lax.scan(step, (zeros, zeros, jnp.int32(0)), xp_t)
-    return jnp.swapaxes(ys, 0, 1)
-
-
 def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
                          unroll: int = 1):
     """Both directions in ONE scan: the forward cell consumes x[t] while the
@@ -117,7 +86,7 @@ def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict):
     """Same contract as ``_bidirectional_fused`` but the time loop runs as
     a persistent Pallas kernel (``ops.pallas.lstm_scan``): h/c never leave
     VMEM, w_hh stays resident, full-BPTT backward kernel."""
-    from gcn_tpu.ops.pallas.lstm_scan import lstm_scan
+    from gcn_tpu.ops.pallas.lstm_scan import lstm_scan_stacked
 
     b, t, _ = x.shape
     fwd, bwd = layer["fwd"], layer["bwd"]
@@ -126,13 +95,15 @@ def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict):
     xp_b = jnp.swapaxes(
         x_rev @ bwd["w_ih"] + (bwd["b_ih"] + bwd["b_hh"]), 0, 1
     )
-    h_f = lstm_scan(xp_f, lengths, fwd["w_hh"])         # [T, B, H] states
-    h_b = lstm_scan(xp_b, lengths, bwd["w_hh"])
+    # both directions stacked on the group axis: ONE T-step kernel grid
+    xp = jnp.stack([xp_f, xp_b], axis=1)                # [T, 2, B, 4H]
+    w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]])        # [2, H, 4H]
+    hs = lstm_scan_stacked(xp, lengths, w_hh)           # [T, 2, B, H]
     # frozen-carry states -> packed-output convention (zeros past length)
     valid = (jnp.arange(t)[None, :] < lengths[:, None])[:, :, None]
-    y_f = jnp.where(valid, jnp.swapaxes(h_f, 0, 1), 0.0)
+    y_f = jnp.where(valid, jnp.swapaxes(hs[:, 0], 0, 1), 0.0)
     y_b = _reverse_by_length(
-        jnp.where(valid, jnp.swapaxes(h_b, 0, 1), 0.0), lengths
+        jnp.where(valid, jnp.swapaxes(hs[:, 1], 0, 1), 0.0), lengths
     )
     return jnp.concatenate([y_f, y_b], axis=-1).astype(x.dtype)
 

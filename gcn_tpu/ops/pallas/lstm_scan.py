@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: persistent masked LSTM scan (one direction).
+"""Pallas TPU kernel: persistent masked LSTM scan.
 
 The BiLSTM is the flagship's serial bottleneck (~half the train step —
 ``tools/step_breakdown.py``): ``lax.scan`` emits T≈96 tiny HLO loop
@@ -7,12 +7,16 @@ h/c) dwarfs the 16-MFLOP recurrent matmul.  This kernel runs the WHOLE
 time loop as a sequential Pallas grid:
 
 * ``h``/``c`` live in VMEM scratch across grid steps — never touch HBM;
-* the recurrent weight ``w_hh`` is resident in VMEM for the whole scan;
+* the recurrent weights ``w_hh`` are resident in VMEM for the whole scan;
 * the precomputed input projections ``xp[t] = x[t] @ W_ih + b`` stream
   through VMEM blocks (Pallas double-buffers the HBM loads);
 * packed-sequence masking (freeze h/c at ``t >= length``) is a VPU select
   against the per-row length vector (reference semantics:
-  ``model/gcn.py:141-146`` pack/pad round-trip).
+  ``model/gcn.py:141-146`` pack/pad round-trip);
+* a leading *group* axis ``G`` runs independent LSTMs in lockstep — the
+  BiLSTM stacks its two directions (the backward one on length-reversed
+  input) so ONE 96-step grid advances both, one batched dot_general per
+  step, instead of two sequential scans.
 
 Backward is full BPTT as a second Pallas kernel running the grid in
 reverse: carries ``dh``/``dc`` in scratch, streams the forward's saved
@@ -44,20 +48,21 @@ def _fwd_kernel(len_ref, xp_ref, whh_ref,
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    h = h_scr[:]
+    h = h_scr[:]                                        # [G, B, H]
     c = c_scr[:]
-    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h, whh_ref[:], preferred_element_type=jnp.float32
-    )                                                   # [B, 4H]
+    gates = xp_ref[0].astype(jnp.float32) + jax.lax.dot_general(
+        h, whh_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                   # [G, B, 4H]
     hd = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :hd])
-    f = jax.nn.sigmoid(gates[:, hd:2 * hd])
-    g = jnp.tanh(gates[:, 2 * hd:3 * hd])
-    o = jax.nn.sigmoid(gates[:, 3 * hd:])
+    i = jax.nn.sigmoid(gates[..., :hd])
+    f = jax.nn.sigmoid(gates[..., hd:2 * hd])
+    g = jnp.tanh(gates[..., 2 * hd:3 * hd])
+    o = jax.nn.sigmoid(gates[..., 3 * hd:])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    valid = (len_ref[:] > t)                            # [B, 1] bool
+    valid = (len_ref[:] > t)[None]                      # [1, B, 1] bool
     h2 = jnp.where(valid, h_new, h)
     c2 = jnp.where(valid, c_new, c)
     h_scr[:] = h2
@@ -70,35 +75,36 @@ def _fwd_kernel(len_ref, xp_ref, whh_ref,
 
 
 def _run_forward(xp, lengths, w_hh, *, interpret: bool):
-    t_dim, b, h4 = xp.shape
+    t_dim, g_dim, b, h4 = xp.shape
     hd = h4 // 4
     len2 = lengths.astype(jnp.int32).reshape(b, 1)
-    vec_t = lambda d: pl.BlockSpec((1, b, d), lambda t: (t, 0, 0),  # noqa: E731
-                                   memory_space=pltpu.VMEM)
+    vec_t = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, g_dim, b, d), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((t_dim, b, hd), jnp.float32),   # h states
-            jax.ShapeDtypeStruct((t_dim, b, hd), jnp.float32),   # c states
-            jax.ShapeDtypeStruct((t_dim, b, h4), jnp.float32),   # i,f,g,o
+            jax.ShapeDtypeStruct((t_dim, g_dim, b, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t_dim, g_dim, b, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t_dim, g_dim, b, h4), jnp.float32),
         ),
         grid=(t_dim,),
         in_specs=[
             pl.BlockSpec((b, 1), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             vec_t(h4),
-            pl.BlockSpec((hd, h4), lambda t: (0, 0),
+            pl.BlockSpec((g_dim, hd, h4), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(vec_t(hd), vec_t(hd), vec_t(h4)),
         scratch_shapes=[
-            pltpu.VMEM((b, hd), jnp.float32),
-            pltpu.VMEM((b, hd), jnp.float32),
+            pltpu.VMEM((g_dim, b, hd), jnp.float32),
+            pltpu.VMEM((g_dim, b, hd), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_dim * b * hd * h4,
-            bytes_accessed=4 * (xp.size + 6 * t_dim * b * hd + w_hh.size),
-            transcendentals=4 * t_dim * b * hd,
+            flops=2 * t_dim * g_dim * b * hd * h4,
+            bytes_accessed=4 * (xp.size + 6 * t_dim * g_dim * b * hd
+                                + w_hh.size),
+            transcendentals=4 * t_dim * g_dim * b * hd,
         ),
         interpret=interpret,
     )(len2, xp, w_hh)
@@ -117,12 +123,12 @@ def _bwd_kernel(len_ref, gy_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
         dwhh_scr[:] = jnp.zeros_like(dwhh_scr)
 
     hd = dh_scr.shape[-1]
-    valid = (len_ref[:] > t)                             # [B, 1]
-    gates = gates_ref[0]
-    i = gates[:, :hd]
-    f = gates[:, hd:2 * hd]
-    g = gates[:, 2 * hd:3 * hd]
-    o = gates[:, 3 * hd:]
+    valid = (len_ref[:] > t)[None]                       # [1, B, 1]
+    gates = gates_ref[0]                                 # [G, B, 4H]
+    i = gates[..., :hd]
+    f = gates[..., hd:2 * hd]
+    g = gates[..., 2 * hd:3 * hd]
+    o = gates[..., 3 * hd:]
     c_new = c_ref[0]
     c_prev = jnp.where(t > 0, cprev_ref[0], 0.0)
     h_prev = jnp.where(t > 0, hprev_ref[0], 0.0)
@@ -141,19 +147,19 @@ def _bwd_kernel(len_ref, gy_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
     dgates = jnp.concatenate(
         [di * i * (1.0 - i), df * f * (1.0 - f),
          dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1,
-    )                                                    # [B, 4H]
+    )                                                    # [G, B, 4H]
     dgates = jnp.where(valid, dgates, 0.0)
 
     dh_prev = jax.lax.dot_general(
-        dgates, whh_ref[:], (((1,), (1,)), ((), ())),
+        dgates, whh_ref[:], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                    # [B, H]
+    )                                                    # [G, B, H]
     dh_scr[:] = jnp.where(valid, dh_prev, dh_tot)
     dc_scr[:] = jnp.where(valid, dc_all * f, dc_tot)
     dwhh_scr[:] += jax.lax.dot_general(
-        h_prev, dgates, (((0,), (0,)), ((), ())),
+        h_prev, dgates, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                    # [H, 4H]
+    )                                                    # [G, H, 4H]
     dxp_ref[0] = dgates.astype(dxp_ref.dtype)
 
     @pl.when(i_step == t_dim - 1)
@@ -163,23 +169,25 @@ def _bwd_kernel(len_ref, gy_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
 
 def _run_backward(gy, lengths, w_hh, h_states, c_states, gates, *,
                   interpret: bool):
-    t_dim, b, hd = gy.shape
+    t_dim, g_dim, b, hd = gy.shape
     h4 = 4 * hd
     len2 = lengths.astype(jnp.int32).reshape(b, 1)
     rev = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, b, d), lambda s: (t_dim - 1 - s, 0, 0),
+        (1, g_dim, b, d), lambda s: (t_dim - 1 - s, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     rev_prev = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, b, d),
-        lambda s: (jnp.maximum(t_dim - 2 - s, 0), 0, 0),
+        (1, g_dim, b, d),
+        lambda s: (jnp.maximum(t_dim - 2 - s, 0), 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    wspec = lambda: pl.BlockSpec(  # noqa: E731
+        (g_dim, hd, h4), lambda s: (0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((t_dim, b, h4), jnp.float32),   # dxp
-            jax.ShapeDtypeStruct((hd, h4), jnp.float32),         # dw_hh
+            jax.ShapeDtypeStruct((t_dim, g_dim, b, h4), jnp.float32),
+            jax.ShapeDtypeStruct((g_dim, hd, h4), jnp.float32),
         ),
         grid=(t_dim,),
         in_specs=[
@@ -190,37 +198,34 @@ def _run_backward(gy, lengths, w_hh, h_states, c_states, gates, *,
             rev(hd),            # c_states (t)
             rev_prev(hd),       # c_states (t-1)
             rev_prev(hd),       # h_states (t-1)
-            pl.BlockSpec((hd, h4), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec(),
         ],
-        out_specs=(
-            rev(h4),
-            pl.BlockSpec((hd, h4), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(rev(h4), wspec()),
         scratch_shapes=[
-            pltpu.VMEM((b, hd), jnp.float32),
-            pltpu.VMEM((b, hd), jnp.float32),
-            pltpu.VMEM((hd, h4), jnp.float32),
+            pltpu.VMEM((g_dim, b, hd), jnp.float32),
+            pltpu.VMEM((g_dim, b, hd), jnp.float32),
+            pltpu.VMEM((g_dim, hd, h4), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * t_dim * b * hd * h4,
+            flops=4 * t_dim * g_dim * b * hd * h4,
             bytes_accessed=4 * (3 * gy.size + 2 * gates.size
                                 + 2 * w_hh.size),
-            transcendentals=t_dim * b * hd,
+            transcendentals=t_dim * g_dim * b * hd,
         ),
         interpret=interpret,
     )(len2, gy, gates, c_states, c_states, h_states, w_hh)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def lstm_scan(xp, lengths, w_hh, interpret=None):
-    """Masked LSTM over precomputed input projections.
+def lstm_scan_stacked(xp, lengths, w_hh, interpret=None):
+    """G independent masked LSTMs advanced in lockstep.
 
-    xp: [T, B, 4H] time-major (``x @ W_ih + b_ih + b_hh``), lengths [B],
-    w_hh [H, 4H] (torch i,f,g,o gate order) → h_states [T, B, H] where
-    rows freeze at ``t >= length`` (caller masks to zeros for the packed
-    output convention).
+    xp: [T, G, B, 4H] time-major input projections (``x @ W_ih + b_ih +
+    b_hh``), lengths [B] (shared across groups), w_hh [G, H, 4H] (torch
+    i,f,g,o gate order) → h_states [T, G, B, H] where rows freeze at
+    ``t >= length`` (caller masks to zeros for the packed-output
+    convention).  The BiLSTM uses G=2: forward direction + backward
+    direction on the length-reversed input.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -245,13 +250,22 @@ def _bwd(interpret, res, gy):
     # carry chain inside the kernel, so out-of-range gy must be zero —
     # enforce it (cheap) instead of assuming the caller masked.
     t_dim = gy.shape[0]
-    tpos = jnp.arange(t_dim, dtype=jnp.int32)[:, None, None]
-    gy = jnp.where(tpos < lengths.astype(jnp.int32)[None, :, None],
-                   gy.astype(jnp.float32), 0.0)
+    tpos = jnp.arange(t_dim, dtype=jnp.int32)[:, None, None, None]
+    gy = jnp.where(
+        tpos < lengths.astype(jnp.int32)[None, None, :, None],
+        gy.astype(jnp.float32), 0.0,
+    )
     dxp, dwhh = _run_backward(
         gy, lengths, w_hh, h_states, c_states, gates, interpret=interpret
     )
     return dxp, None, dwhh
 
 
-lstm_scan.defvjp(_fwd, _bwd)
+lstm_scan_stacked.defvjp(_fwd, _bwd)
+
+
+def lstm_scan(xp, lengths, w_hh, interpret=None):
+    """Single-LSTM convenience wrapper: xp [T, B, 4H], w_hh [H, 4H] →
+    h_states [T, B, H] (see ``lstm_scan_stacked``)."""
+    out = lstm_scan_stacked(xp[:, None], lengths, w_hh[None], interpret)
+    return out[:, 0]

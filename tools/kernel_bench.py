@@ -9,6 +9,8 @@ token — the ``train_cgcn.sh`` workload shapes):
 * ``sddmm``            — per-edge attention scores u[parent]·v[child]
 * ``deprel_bilinear``  — Σ_d e_d (x @ W_d), v1 (d-loop) and v2
   (relation-major) variants, vs the XLA einsum
+* ``bilstm``           — persistent Pallas LSTM scan vs the fused
+  two-direction ``lax.scan`` (rolled and unroll-8)
 
 Timing uses the repo-wide honest methodology (``gcn_tpu.utils.timing``):
 scalar-chained iterations + slope between two chain lengths, with a bf16
@@ -213,6 +215,37 @@ def main():
                 "deprel_bilinear", path, fn,
                 ((x2, e2, w3, b2), (0, 1, 2, 3)), (k1, k2)):
             report("deprel_bilinear", path, mode, dt, m_dim, flops)
+
+    # --- bilstm: persistent Pallas kernel vs lax.scan ----------------------
+    from gcn_tpu.ops.lstm import _bidirectional_fused, _bidirectional_pallas
+
+    d_in = 32 if tiny else 360  # flagship LSTM input: emb 300 + pos + ner
+    xl = jax.random.normal(jax.random.key(10), (b, n, d_in), jnp.float32)
+    lengths = jnp.clip(
+        jax.random.randint(jax.random.key(11), (b,), n // 2, n + 1), 2, n
+    ).astype(jnp.int32)
+    ks = jax.random.split(jax.random.key(12), 8)
+    mk = lambda k, shp: jax.random.normal(k, shp, jnp.float32) * 0.1  # noqa: E731
+    layer = {
+        dr: {
+            "w_ih": mk(ks[i * 4], (d_in, 4 * h_dim)),
+            "w_hh": mk(ks[i * 4 + 1], (h_dim, 4 * h_dim)),
+            "b_ih": mk(ks[i * 4 + 2], (4 * h_dim,)),
+            "b_hh": mk(ks[i * 4 + 3], (4 * h_dim,)),
+        }
+        for i, dr in enumerate(("fwd", "bwd"))
+    }
+    cases = {
+        "pallas": lambda xx: _sq(_bidirectional_pallas(xx, lengths, layer)),
+        "scan_u8": lambda xx: _sq(
+            _bidirectional_fused(xx, lengths, layer, 8)),
+        "scan_u1": lambda xx: _sq(
+            _bidirectional_fused(xx, lengths, layer, 1)),
+    }
+    for path, fn in cases.items():
+        for mode, dt, flops in time_case(
+                "bilstm", path, fn, ((xl,), (0,)), (k1, k2)):
+            report("bilstm", path, mode, dt, None, flops)
 
 
 if __name__ == "__main__":

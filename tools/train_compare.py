@@ -1,0 +1,179 @@
+"""End-to-end training comparison: gcn_tpu vs the executed PyTorch reference.
+
+Trains BOTH frameworks from scratch on the same checked-in data with a
+matched configuration (same splits, vocab, GloVe matrix, optimizer,
+schedule, batch size) and compares dev-F1 / loss trajectories and the
+test-F1-at-best-dev selection — the reference's headline protocol
+(reference ``train.py:287-293``).  This is the acceptance evidence that
+the full training loop (data → model → autograd → optimizer → scorer →
+selection) reaches the reference's quality, complementing the step-level
+trajectory parity in ``tests/test_train_parity.py``.
+
+The checked-in sample data has SYNTHETIC random labels, so held-out F1 is
+pure noise; the comparable quality signal is *learnability* — both
+frameworks must memorize the train split at the same rate.  The staging
+directory therefore aliases dev/test to the train split (and provides the
+``train_0.1.json`` filename the reference hard-codes, reference
+``train.py:159``); "dev F1" below reads as train-memorization F1.  On the
+real TACRED corpus the same tool runs unmodified with genuine splits.
+
+    python tools/train_compare.py [--num_epoch 30] [--batch_size 10]
+
+Prints one JSON line per framework and a final comparison record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+
+def read_log(path):
+    """Parse the shared TSV log format: epoch, train_loss, dev_loss,
+    dev_score, best_dev_score (identical in both frameworks)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) >= 5:
+                rows.append({
+                    "epoch": int(parts[0]),
+                    "train_loss": float(parts[1]),
+                    "dev_loss": float(parts[2]),
+                    "dev_f1": float(parts[3]),
+                    "best_dev_f1": float(parts[4]),
+                })
+    return rows
+
+
+def common_flags(args):
+    flags = [
+        "--vocab_dir", os.path.join(REPO, "dataset", "vocab"),
+        "--num_epoch", str(args.num_epoch),
+        "--batch_size", str(args.batch_size),
+        "--optim", "sgd", "--lr", "1.0",
+        "--prune_k", "1",
+        "--hidden_dim", "40", "--rnn_hidden", "20",
+        "--num_layers", "2",
+        "--adj_type", "full_deprel",
+        "--seed", "7",
+        "--cpu",
+    ]
+    if args.no_dropout:
+        flags += ["--input_dropout", "0", "--gcn_dropout", "0",
+                  "--rnn_dropout", "0", "--word_dropout", "0"]
+    return flags
+
+
+def stage_data(workdir):
+    data = os.path.join(workdir, "data")
+    if not os.path.isdir(data):
+        os.makedirs(data)
+        train = os.path.join(REPO, "dataset", "tacred", "train.json")
+        for alias in ("train.json", "train_0.1.json", "dev.json",
+                      "test.json"):
+            shutil.copy(train, os.path.join(data, alias))
+    return data
+
+
+def run_reference(args, workdir):
+    data = stage_data(workdir)
+    save = os.path.join(workdir, "ref_models")
+    cmd = [
+        sys.executable, os.path.join(REF, "train.py"),
+        "--data_dir", data,
+        "--model_save_dir", save,
+        "--test_save_dir", os.path.join(workdir, "ref_test"),
+        "--id", "cmp",
+        *common_flags(args),
+    ]
+    out = subprocess.run(
+        cmd, cwd=REF, capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "CUDA_VISIBLE_DEVICES": "",
+             "OMP_NUM_THREADS": "2"},
+    )
+    if out.returncode != 0:
+        print(out.stdout[-3000:], file=sys.stderr)
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError("reference training failed")
+    rows = read_log(os.path.join(save, "cmp", "logs.txt"))
+    m = re.findall(r"F1\s*\(micro\):\s*([\d.]+)", out.stdout)
+    test_f1 = float(m[-1]) / 100.0 if m else None
+    return rows, test_f1, out.stdout
+
+
+def run_ours(args, workdir):
+    save = os.path.join(workdir, "tpu_models")
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--data_dir", stage_data(workdir),
+        "--model_save_dir", save,
+        "--id", "cmp",
+        *common_flags(args),
+    ]
+    out = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        print(out.stdout[-3000:], file=sys.stderr)
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError("gcn_tpu training failed")
+    rows = read_log(os.path.join(save, "cmp", "logs.txt"))
+    m = re.search(r"'f1':\s*([\d.]+)", out.stdout.splitlines()[-1])
+    test_f1 = float(m.group(1)) if m else None
+    return rows, test_f1, out.stdout
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_epoch", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--keep", action="store_true",
+                   help="keep the staging directory")
+    p.add_argument("--no_dropout", action="store_true",
+                   help="disable all stochastic regularization (isolates "
+                        "optimization dynamics from noise semantics)")
+    args = p.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="train_compare_")
+    try:
+        ref_rows, ref_test, _ = run_reference(args, workdir)
+        tpu_rows, tpu_test, _ = run_ours(args, workdir)
+        for name, rows, test_f1 in (("reference", ref_rows, ref_test),
+                                    ("gcn_tpu", tpu_rows, tpu_test)):
+            print(json.dumps({
+                "framework": name,
+                "epochs": len(rows),
+                "final_train_loss": rows[-1]["train_loss"] if rows else None,
+                "best_dev_f1": max((r["dev_f1"] for r in rows),
+                                   default=None),
+                "test_f1_at_best_dev": test_f1,
+                "dev_f1_trajectory": [
+                    round(r["dev_f1"], 4) for r in rows
+                ],
+            }))
+        best_ref = max((r["dev_f1"] for r in ref_rows), default=0.0)
+        best_tpu = max((r["dev_f1"] for r in tpu_rows), default=0.0)
+        print(json.dumps({
+            "record": "comparison",
+            "dev_f1_delta_tpu_minus_ref": round(best_tpu - best_ref, 4),
+            "tpu_matches_or_beats_reference": best_tpu >= best_ref - 0.02,
+        }))
+    finally:
+        if not args.keep:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
