@@ -86,7 +86,9 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Use the fused Pallas edge-list SpMM kernel for regular-mode GCN
     # layers (adjacency built in VMEM, never materialized in HBM).
-    use_pallas: bool = False
+    use_pallas: bool | str = "auto"  # True | False | "auto" (measured
+                                     # crossover: fused kernels once
+                                     # B·N ≥ 8192 on TPU, XLA below)
 
     @property
     def input_dim(self) -> int:

@@ -176,8 +176,19 @@ class GCNClassifier(nn.Module):
         # come from cheap edge-list degree counts instead of the dense
         # matrix.  Stochastic edge dropout samples per-band masks, which the
         # single-mask kernels don't model — fall back to dense then.
+        # "auto" follows the measured crossover (tools/step_breakdown.py
+        # --batches, bf16 on v5e): XLA wins at B·N ≈ 4800 (B=50 flagship),
+        # the kernels win once the XLA einsum's [B·N, D·T] intermediate is
+        # HBM-bound (1.14x at B·N ≥ ~9600); TPU only — interpret mode on
+        # CPU is for tests.
+        use_pallas = cfg.use_pallas
+        if use_pallas == "auto":
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and words.shape[0] * n >= 8192
+            )
         edge_drop_active = (not deterministic) and cfg.edge_keep_prob < 1.0
-        use_fused = cfg.use_pallas and (
+        use_fused = use_pallas and (
             (cfg.adj_type == "regular" and not cfg.no_adj)
             or (
                 cfg.adj_type in ("diagonal_deprel", "full_deprel")

@@ -13,6 +13,10 @@ import argparse
 from gcn_tpu.config import Config
 
 
+def _pallas_mode(v: str):
+    return "auto" if v.lower() == "auto" else str2bool(v)
+
+
 def str2bool(v: str) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
@@ -111,8 +115,10 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    help="Batch same-length-bucket sentences together "
                         "(cuts padding waste; changes batch composition "
                         "vs the reference's shuffle-then-chunk).")
-    p.add_argument("--use_pallas", type=str2bool, default=False,
-                   help="Fused Pallas edge-list SpMM for regular GCN layers.")
+    p.add_argument("--use_pallas", type=_pallas_mode, default="auto",
+                   help="Fused Pallas edge-list aggregation kernels: "
+                        "true | false | auto (measured crossover — fused "
+                        "once B*N >= 8192 on TPU, XLA below).")
     p.add_argument("--profile_dir", type=str, default="",
                    help="Capture a jax.profiler trace of early training "
                         "steps into this directory.")

@@ -16,6 +16,7 @@ where the milliseconds go:
 
 Run on the real chip:  python tools/step_breakdown.py
 CPU smoke:             python tools/step_breakdown.py --tiny
+Batch scaling:         python tools/step_breakdown.py --batches 50,100,200
 One JSON line per variant to stdout + a final derived-breakdown record.
 """
 
@@ -63,7 +64,36 @@ def bench_forward(cfg, batch, label):
     return dt, flops
 
 
+def batch_sweep(batches):
+    """Single-chip throughput vs batch size (bf16, flagship config), XLA
+    vs Pallas aggregation.  The XLA full_deprel einsum materializes an
+    [B·N, D·T] intermediate that scales with batch (645 MB at B=200) and
+    becomes HBM-bound; the Pallas kernels never build it, so this sweep
+    locates the crossover batch for the use_pallas default."""
+    calibrate()
+    for b in batches:
+        for label, use_pallas in (("xla", False), ("pallas", True)):
+            cfg = g._flagship_cfg()
+            cfg.model.compute_dtype = "bfloat16"
+            cfg.model.use_pallas = use_pallas
+            batch = g._synthetic_batch(cfg, b=b, n=96)
+            dt, edges, flops = bench.bench_train_step(
+                cfg, batch, f"b{b}_{label}")
+            rec = {"variant": f"batch_{b}_{label}", "batch": b,
+                   "path": label,
+                   "ms_per_step": round(dt * 1e3, 3),
+                   "edges_per_sec": round(edges / dt, 1)}
+            if flops:
+                rec["cost_analysis_flops"] = flops
+            print(json.dumps(rec), flush=True)
+
+
 def main():
+    if "--batches" in sys.argv:
+        arg = sys.argv[sys.argv.index("--batches") + 1]
+        batch_sweep([int(x) for x in arg.split(",")])
+        return
+
     tiny = "--tiny" in sys.argv
     if not tiny:
         calibrate()
