@@ -77,8 +77,16 @@ def batch_sweep(batches):
             cfg.model.compute_dtype = "bfloat16"
             cfg.model.use_pallas = use_pallas
             batch = g._synthetic_batch(cfg, b=b, n=96)
-            dt, edges, flops = bench.bench_train_step(
-                cfg, batch, f"b{b}_{label}")
+            try:
+                dt, edges, flops = bench.bench_train_step(
+                    cfg, batch, f"b{b}_{label}")
+            except Exception as e:  # e.g. OOM on the XLA intermediate
+                print(json.dumps({
+                    "variant": f"batch_{b}_{label}", "batch": b,
+                    "path": label, "failed": type(e).__name__,
+                    "detail": str(e).splitlines()[0][:160],
+                }), flush=True)
+                continue
             rec = {"variant": f"batch_{b}_{label}", "batch": b,
                    "path": label,
                    "ms_per_step": round(dt * 1e3, 3),
