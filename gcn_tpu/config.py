@@ -89,6 +89,12 @@ class ModelConfig:
     use_pallas: bool | str = "auto"  # True | False | "auto" (measured
                                      # crossover: fused kernels once
                                      # B·N ≥ 8192 on TPU, XLA below)
+    # Factored full_deprel evaluation: compose per-relation matrices
+    # S[r] = Σ_d table[r,d]·W[d] once per step, then one grouped (ragged)
+    # matmul h[m] @ S[ids[m]] — identical math to the reference's
+    # per-token contraction (model/gcn.py:400-415) at ~25× fewer FLOPs.
+    # "auto" = on (it is exact); False restores the 3-operand einsum.
+    deprel_factored: bool | str = "auto"
 
     @property
     def input_dim(self) -> int:

@@ -41,8 +41,10 @@ from gcn_tpu.ops.dropout import (
     forget_deprels,
 )
 from gcn_tpu.ops.gcn_layers import (
+    compose_relation_transforms,
     diagonal_deprel_layer,
     full_deprel_layer,
+    grouped_bilinear,
     regular_layer,
 )
 from gcn_tpu.ops.lstm import bilstm
@@ -449,8 +451,100 @@ class GCNClassifier(nn.Module):
         return logits.astype(jnp.float32), h_out.astype(jnp.float32)
 
     # ------------------------------------------------------------ full_deprel
+    def _use_factored(self) -> bool:
+        v = self.cfg.deprel_factored
+        return True if v == "auto" else bool(v)
+
+    def _band_relation_ids(self, ids, ones_id, zero_id, zero_guard,
+                           past_depth, deterministic):
+        """Effective relation id per token for one band of the factored
+        path.  Mirrors the e-vector construction of the einsum path exactly
+        (including RNG consumption): the padding zero-guard of
+        ``_deprel_lookup``, per-token deprel forgetting → the all-ones row
+        (reference ``maybe_forget_deprels``, ``model/gcn.py:451-470``), and
+        the ``deprel_max_depth`` all-ones override."""
+        cfg = self.cfg
+        if zero_guard:
+            ids = jnp.where(ids == 0, zero_id, ids)
+        if not deterministic and cfg.deprel_keep_prop < 1.0:
+            # same key shape/order as ops.dropout.forget_deprels so the
+            # two paths are bit-identical under one rng stream
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), cfg.deprel_keep_prop,
+                ids.shape + (1,),
+            )[..., 0]
+            ids = jnp.where(keep, ids, ones_id)
+        if past_depth:
+            ids = jnp.full_like(ids, ones_id)
+        return ids
+
+    def _factored_tables(self, deprel_table, w, b, dtype):
+        """Augmented relation table (+ all-ones and all-zeros rows) and its
+        composed per-relation transforms S[r]=Σ_d table[r,d]·W[d]."""
+        d = deprel_table.shape[1]
+        table_aug = jnp.concatenate(
+            [deprel_table,
+             jnp.ones((1, d), dtype),
+             jnp.zeros((1, d), dtype)], axis=0,
+        )
+        s, bs = compose_relation_transforms(
+            table_aug, w.astype(dtype), b.astype(dtype)
+        )
+        return s, bs
+
+    def _full_deprel_factored(self, h, adj, deprel_table, deprel, l, w, b,
+                              dtype, deterministic):
+        """Factored evaluation of the full_deprel layer: per-token bilinear
+        transforms become one grouped matmul against per-relation composed
+        matrices (``ops.gcn_layers.compose_relation_transforms``) — ~25×
+        fewer FLOPs than the reference contraction it replaces
+        (``model/gcn.py:400-415``), same math to float reassociation."""
+        cfg = self.cfg
+        stochastic = not deterministic
+        past_depth = l >= cfg.deprel_max_depth
+        r = deprel_table.shape[0]
+        ones_id, zero_id = r, r + 1
+        s, bs = self._factored_tables(deprel_table, w, b, dtype)
+
+        def rng():
+            return self.make_rng("dropout")
+
+        # forward band (rng order matches the einsum path: edge-drop fwd,
+        # forget fwd, edge-drop rev, forget rev)
+        a_f = adj.forward
+        if stochastic and cfg.edge_keep_prob < 1.0:
+            a_f = drop_edges(rng(), a_f, cfg.edge_keep_prob, False)
+        ids_f = self._band_relation_ids(
+            deprel, ones_id, zero_id, True, past_depth, deterministic
+        )
+        out = jnp.matmul(a_f, grouped_bilinear(h, ids_f, s, bs))
+
+        if not cfg.deprel_directed:
+            a_r = adj.reverse
+            if stochastic and cfg.edge_keep_prob < 1.0:
+                a_r = drop_edges(rng(), a_r, cfg.edge_keep_prob, False)
+            ids_r = self._band_relation_ids(
+                deprel + constants.DEPREL_FORWARD_BOUND, ones_id, zero_id,
+                False, past_depth, deterministic,
+            )
+            out = out + jnp.matmul(a_r, grouped_bilinear(h, ids_r, s, bs))
+
+        if cfg.deprel_self_loop:
+            from gcn_tpu.ops.gcn_layers import self_loop_traverse
+
+            e_self = deprel_table[constants.SELF_LOOP_INDEX]
+            if past_depth:
+                e_self = jnp.ones((cfg.deprel_emb_dim,), dtype)
+            out = out + self_loop_traverse(h, e_self, w.astype(dtype),
+                                           b.astype(dtype))
+        return out
+
     def _full_deprel(self, h, adj, deprel_table, deprel, l, w, b, dtype,
                      deterministic):
+        if self._use_factored():
+            return self._full_deprel_factored(
+                h, adj, deprel_table, deprel, l, w, b, dtype, deterministic
+            )
         cfg = self.cfg
         d = cfg.deprel_emb_dim
         w = w.astype(dtype)
@@ -519,6 +613,35 @@ class GCNClassifier(nn.Module):
         stochastic = not deterministic
         past_depth = l >= cfg.deprel_max_depth
         ones_e = jnp.ones(h.shape[:2] + (d,), dtype)
+
+        if self._use_factored():
+            # grouped-matmul bilinear (same factored math as the dense
+            # path) feeding the fused Pallas band aggregation
+            r = deprel_table.shape[0]
+            ones_id, zero_id = r, r + 1
+            s, bs = self._factored_tables(deprel_table, w, b, dtype)
+            ids_f = self._band_relation_ids(
+                deprel, ones_id, zero_id, True, past_depth, deterministic
+            )
+            x_f = grouped_bilinear(h, ids_f, s, bs)
+            if not cfg.deprel_directed:
+                ids_r = self._band_relation_ids(
+                    deprel + constants.DEPREL_FORWARD_BOUND, ones_id,
+                    zero_id, False, past_depth, deterministic,
+                )
+                x_r = grouped_bilinear(h, ids_r, s, bs)
+            else:
+                x_r = jnp.zeros(h.shape[:2] + (cfg.hidden_dim,), h.dtype)
+            if cfg.deprel_self_loop:
+                e_self = deprel_table[constants.SELF_LOOP_INDEX]
+                if past_depth:
+                    e_self = jnp.ones((d,), dtype)
+                x_s = jnp.broadcast_to(
+                    self_loop_traverse(h, e_self, w, b), x_f.shape
+                )
+            else:
+                x_s = jnp.zeros_like(x_f)
+            return x_f, x_r, x_s
 
         e_fwd = self._deprel_lookup(deprel_table, deprel)
         if stochastic and cfg.deprel_keep_prop < 1.0:

@@ -57,6 +57,54 @@ def diagonal_deprel_layer(
     return fwd + rev + e_self * h
 
 
+def compose_relation_transforms(
+    table: jax.Array,  # [R, D] deprel embedding rows (possibly augmented)
+    w: jax.Array,      # [D, T, H]
+    b: jax.Array,      # [D, H]
+) -> tuple[jax.Array, jax.Array]:
+    """Per-relation composed transforms ``S[r] = Σ_d table[r,d]·W[d]`` and
+    ``bias[r] = table[r] @ b``.
+
+    The key algebraic identity behind the factored full_deprel path: the
+    reference's per-token bilinear transform (``model/gcn.py:400-415``)
+
+        out[m] = Σ_d e[m,d] · (h[m] @ W[d] + b[d]),   e = table[ids]
+
+    is linear in ``e``, so it equals ``h[m] @ S[ids[m]] + bias[ids[m]]``.
+    Composing S costs ``2·R·D·T·H`` FLOPs ONCE per step (≈1.4 GFLOP at
+    flagship shapes) instead of ``2·M·D·T·H`` per token (≈38 GFLOP) — a
+    ~25× FLOP reduction of the model's dominant contraction, and the
+    ``[M, D·T]`` outer-product intermediate never exists.
+    """
+    s = jnp.einsum("rd,dth->rth", table, w)
+    return s, table @ b
+
+
+def grouped_bilinear(
+    h: jax.Array,    # [B, N, T]
+    ids: jax.Array,  # [B, N] int32 relation ids in [0, R)
+    s: jax.Array,    # [R, T, H] composed per-relation matrices
+    bs: jax.Array,   # [R, H] composed per-relation biases
+) -> jax.Array:
+    """``out[b,n] = h[b,n] @ S[ids[b,n]] + bias[ids[b,n]]`` as a grouped
+    (ragged) matmul: sort tokens by relation id, one ``lax.ragged_dot``
+    over the R contiguous groups, scatter back.  The sort/scatter are
+    O(M·T) data movement — negligible next to the matmul it replaces."""
+    b_sz, n, t = h.shape
+    m = b_sz * n
+    flat_ids = ids.reshape(m).astype(jnp.int32)
+    h2 = h.reshape(m, t)
+    perm = jnp.argsort(flat_ids)
+    h_sorted = jnp.take(h2, perm, axis=0)
+    group_sizes = jnp.zeros((s.shape[0],), jnp.int32).at[flat_ids].add(1)
+    out_sorted = jax.lax.ragged_dot(h_sorted, s, group_sizes)
+    out = jnp.zeros((m, s.shape[-1]), out_sorted.dtype).at[perm].set(
+        out_sorted
+    )
+    out = out + jnp.take(bs, flat_ids, axis=0)
+    return out.reshape(b_sz, n, s.shape[-1])
+
+
 def bilinear_traverse(
     h: jax.Array,
     e: jax.Array,

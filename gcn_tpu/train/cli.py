@@ -119,6 +119,10 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    help="Fused Pallas edge-list aggregation kernels: "
                         "true | false | auto (measured crossover — fused "
                         "once B*N >= 8192 on TPU, XLA below).")
+    p.add_argument("--deprel_factored", type=_pallas_mode, default="auto",
+                   help="Factored full_deprel: per-relation composed "
+                        "matrices + one grouped matmul (~25x fewer FLOPs, "
+                        "same math). true | false | auto (= on).")
     p.add_argument("--profile_dir", type=str, default="",
                    help="Capture a jax.profiler trace of early training "
                         "steps into this directory.")
@@ -169,6 +173,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.use_bert_embeddings = args.use_bert_embeddings
     m.compute_dtype = args.compute_dtype
     m.use_pallas = args.use_pallas
+    m.deprel_factored = args.deprel_factored
 
     t.lr = args.lr
     t.lr_decay = args.lr_decay
