@@ -453,7 +453,11 @@ class GCNClassifier(nn.Module):
     # ------------------------------------------------------------ full_deprel
     def _use_factored(self) -> bool:
         v = self.cfg.deprel_factored
-        return True if v == "auto" else bool(v)
+        return True if v in ("auto", "ragged", "pallas") else bool(v)
+
+    def _factored_impl(self) -> str:
+        v = self.cfg.deprel_factored
+        return v if v in ("ragged", "pallas") else "auto"
 
     def _band_relation_ids(self, ids, ones_id, zero_id, zero_guard,
                            past_depth, deterministic):
@@ -517,7 +521,7 @@ class GCNClassifier(nn.Module):
         ids_f = self._band_relation_ids(
             deprel, ones_id, zero_id, True, past_depth, deterministic
         )
-        out = jnp.matmul(a_f, grouped_bilinear(h, ids_f, s, bs))
+        impl = self._factored_impl()
 
         if not cfg.deprel_directed:
             a_r = adj.reverse
@@ -527,7 +531,18 @@ class GCNClassifier(nn.Module):
                 deprel + constants.DEPREL_FORWARD_BOUND, ones_id, zero_id,
                 False, past_depth, deterministic,
             )
-            out = out + jnp.matmul(a_r, grouped_bilinear(h, ids_r, s, bs))
+            # both bands share W (and therefore S): one grouped matmul over
+            # the stacked bands reads each composed matrix once, not twice
+            x2 = grouped_bilinear(
+                jnp.concatenate([h, h], axis=0),
+                jnp.concatenate([ids_f, ids_r], axis=0),
+                s, bs, impl=impl,
+            )
+            bsz = h.shape[0]
+            out = jnp.matmul(a_f, x2[:bsz]) + jnp.matmul(a_r, x2[bsz:])
+        else:
+            out = jnp.matmul(a_f, grouped_bilinear(h, ids_f, s, bs,
+                                                   impl=impl))
 
         if cfg.deprel_self_loop:
             from gcn_tpu.ops.gcn_layers import self_loop_traverse
@@ -623,14 +638,21 @@ class GCNClassifier(nn.Module):
             ids_f = self._band_relation_ids(
                 deprel, ones_id, zero_id, True, past_depth, deterministic
             )
-            x_f = grouped_bilinear(h, ids_f, s, bs)
+            impl = self._factored_impl()
             if not cfg.deprel_directed:
                 ids_r = self._band_relation_ids(
                     deprel + constants.DEPREL_FORWARD_BOUND, ones_id,
                     zero_id, False, past_depth, deterministic,
                 )
-                x_r = grouped_bilinear(h, ids_r, s, bs)
+                x2 = grouped_bilinear(
+                    jnp.concatenate([h, h], axis=0),
+                    jnp.concatenate([ids_f, ids_r], axis=0),
+                    s, bs, impl=impl,
+                )
+                bsz = h.shape[0]
+                x_f, x_r = x2[:bsz], x2[bsz:]
             else:
+                x_f = grouped_bilinear(h, ids_f, s, bs, impl=impl)
                 x_r = jnp.zeros(h.shape[:2] + (cfg.hidden_dim,), h.dtype)
             if cfg.deprel_self_loop:
                 e_self = deprel_table[constants.SELF_LOOP_INDEX]

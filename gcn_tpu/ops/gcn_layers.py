@@ -85,11 +85,16 @@ def grouped_bilinear(
     ids: jax.Array,  # [B, N] int32 relation ids in [0, R)
     s: jax.Array,    # [R, T, H] composed per-relation matrices
     bs: jax.Array,   # [R, H] composed per-relation biases
+    impl: str = "auto",
 ) -> jax.Array:
     """``out[b,n] = h[b,n] @ S[ids[b,n]] + bias[ids[b,n]]`` as a grouped
-    (ragged) matmul: sort tokens by relation id, one ``lax.ragged_dot``
-    over the R contiguous groups, scatter back.  The sort/scatter are
-    O(M·T) data movement — negligible next to the matmul it replaces."""
+    (ragged) matmul: sort tokens by relation id, one grouped matmul over
+    the R contiguous groups, scatter back.  The sort/scatter are O(M·T)
+    data movement — negligible next to the matmul it replaces.
+
+    ``impl``: "ragged" = ``lax.ragged_dot``; "pallas" = the MoE-style
+    visit-scheduled kernel (``ops.pallas.grouped_matmul``) with a fused
+    dx+dS backward; "auto" = pallas on TPU, ragged elsewhere."""
     b_sz, n, t = h.shape
     m = b_sz * n
     flat_ids = ids.reshape(m).astype(jnp.int32)
@@ -97,7 +102,14 @@ def grouped_bilinear(
     perm = jnp.argsort(flat_ids)
     h_sorted = jnp.take(h2, perm, axis=0)
     group_sizes = jnp.zeros((s.shape[0],), jnp.int32).at[flat_ids].add(1)
-    out_sorted = jax.lax.ragged_dot(h_sorted, s, group_sizes)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "ragged"
+    if impl == "pallas":
+        from gcn_tpu.ops.pallas.grouped_matmul import grouped_matmul
+
+        out_sorted = grouped_matmul(h_sorted, s, group_sizes)
+    else:
+        out_sorted = jax.lax.ragged_dot(h_sorted, s, group_sizes)
     out = jnp.zeros((m, s.shape[-1]), out_sorted.dtype).at[perm].set(
         out_sorted
     )

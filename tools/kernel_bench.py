@@ -216,6 +216,30 @@ def main():
                 ((x2, e2, w3, b2), (0, 1, 2, 3)), (k1, k2)):
             report("deprel_bilinear", path, mode, dt, m_dim, flops)
 
+    # --- grouped_matmul: factored full_deprel core -------------------------
+    # flagship factored shapes: both bands of layer 0 stacked (M = 2·B·N),
+    # T = 2·rnn_hidden, R = 85 deprel rows + ones + zero
+    from gcn_tpu.ops.pallas.grouped_matmul import grouped_matmul
+
+    r_dim = 12 if tiny else 87
+    mg = 2 * b * n
+    tg = t_dim if tiny else 400
+    ids_np = np.sort(
+        np.random.RandomState(13).randint(0, r_dim, mg)
+    ).astype(np.int32)
+    gsz = jnp.asarray(np.bincount(ids_np, minlength=r_dim), jnp.int32)
+    xg = jax.random.normal(jax.random.key(14), (mg, tg), jnp.float32)
+    sg = jax.random.normal(jax.random.key(15), (r_dim, tg, h_dim),
+                           jnp.float32) * 0.05
+    cases = {
+        "pallas": lambda xx, ss: _sq(grouped_matmul(xx, ss, gsz)),
+        "xla_ragged": lambda xx, ss: _sq(jax.lax.ragged_dot(xx, ss, gsz)),
+    }
+    for path, fn in cases.items():
+        for mode, dt, flops in time_case(
+                "grouped_matmul", path, fn, ((xg, sg), (0, 1)), (k1, k2)):
+            report("grouped_matmul", path, mode, dt, mg, flops)
+
     # --- bilstm: persistent Pallas kernel vs lax.scan ----------------------
     from gcn_tpu.ops.lstm import _bidirectional_fused, _bidirectional_pallas
 
