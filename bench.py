@@ -115,6 +115,9 @@ def main() -> None:
     import __graft_entry__ as g
 
     tiny = "--tiny" in sys.argv  # CPU smoke mode for tests
+    from gcn_tpu.utils.rng import configure_prng
+
+    configure_prng("auto")  # the product default (TrainConfig.prng_impl)
     calib_frac = calibrate() if not tiny else 1.0
     # the suspect band is for catching multi-x methodology errors (the
     # round-1 failure mode), not the ±10% run-to-run clock/relay jitter

@@ -324,6 +324,8 @@ class GCNClassifier(nn.Module):
                 self.sow("intermediates", "gcn_drop", h)
             return h
 
+        fd_plans: dict = {}  # sort plans shared across layers when
+                             # relation ids are layer-invariant
         for l in range(cfg.num_layers):
             if cfg.adj_type == "regular":
                 t_in = h.shape[-1]
@@ -417,7 +419,7 @@ class GCNClassifier(nn.Module):
 
                     x_f, x_r, x_s = self._full_deprel_components(
                         h, deprel_table, deprel, l, w, b, dtype,
-                        deterministic,
+                        deterministic, fd_plans,
                     )
                     h = fused_band_aggregate(
                         batch["edge_parent"], batch["edge_child"],
@@ -427,7 +429,7 @@ class GCNClassifier(nn.Module):
                     continue
                 axw = self._full_deprel(
                     h, adj, deprel_table, deprel, l, w, b, dtype,
-                    deterministic,
+                    deterministic, fd_plans,
                 )
             else:
                 raise ValueError(f"unknown adj_type: {cfg.adj_type}")
@@ -496,8 +498,23 @@ class GCNClassifier(nn.Module):
         )
         return s, bs
 
+    def _group_plan(self, plans, key, ids, n_groups, deterministic):
+        """Reuse the sort plan across layers when relation ids are
+        layer-invariant (forgetting off / eval mode)."""
+        from gcn_tpu.ops.gcn_layers import make_group_plan
+
+        reusable = (plans is not None) and (
+            deterministic or self.cfg.deprel_keep_prop >= 1.0
+        )
+        if reusable and key in plans:
+            return plans[key]
+        plan = make_group_plan(ids, n_groups)
+        if reusable:
+            plans[key] = plan
+        return plan
+
     def _full_deprel_factored(self, h, adj, deprel_table, deprel, l, w, b,
-                              dtype, deterministic):
+                              dtype, deterministic, plans=None):
         """Factored evaluation of the full_deprel layer: per-token bilinear
         transforms become one grouped matmul against per-relation composed
         matrices (``ops.gcn_layers.compose_relation_transforms``) — ~25×
@@ -533,16 +550,24 @@ class GCNClassifier(nn.Module):
             )
             # both bands share W (and therefore S): one grouped matmul over
             # the stacked bands reads each composed matrix once, not twice
+            ids2 = jnp.concatenate([ids_f, ids_r], axis=0)
+            plan = self._group_plan(
+                plans, ("stk", l >= cfg.deprel_max_depth), ids2,
+                s.shape[0], deterministic,
+            )
             x2 = grouped_bilinear(
-                jnp.concatenate([h, h], axis=0),
-                jnp.concatenate([ids_f, ids_r], axis=0),
-                s, bs, impl=impl,
+                jnp.concatenate([h, h], axis=0), ids2, s, bs,
+                impl=impl, plan=plan,
             )
             bsz = h.shape[0]
             out = jnp.matmul(a_f, x2[:bsz]) + jnp.matmul(a_r, x2[bsz:])
         else:
+            plan = self._group_plan(
+                plans, ("fwd", l >= cfg.deprel_max_depth), ids_f,
+                s.shape[0], deterministic,
+            )
             out = jnp.matmul(a_f, grouped_bilinear(h, ids_f, s, bs,
-                                                   impl=impl))
+                                                   impl=impl, plan=plan))
 
         if cfg.deprel_self_loop:
             from gcn_tpu.ops.gcn_layers import self_loop_traverse
@@ -555,10 +580,11 @@ class GCNClassifier(nn.Module):
         return out
 
     def _full_deprel(self, h, adj, deprel_table, deprel, l, w, b, dtype,
-                     deterministic):
+                     deterministic, plans=None):
         if self._use_factored():
             return self._full_deprel_factored(
-                h, adj, deprel_table, deprel, l, w, b, dtype, deterministic
+                h, adj, deprel_table, deprel, l, w, b, dtype, deterministic,
+                plans,
             )
         cfg = self.cfg
         d = cfg.deprel_emb_dim
@@ -607,7 +633,7 @@ class GCNClassifier(nn.Module):
                                  adj_reverse=a_r)
 
     def _full_deprel_components(self, h, deprel_table, deprel, l, w, b,
-                                dtype, deterministic):
+                                dtype, deterministic, plans=None):
         """Per-band message tensors for the fused Pallas aggregation:
         (x_f, x_r, x_self) such that the layer output is
         ``(A_f x_f + A_fᵀ x_r + x_self)/denom`` — the deprel-conditioned
@@ -644,15 +670,24 @@ class GCNClassifier(nn.Module):
                     deprel + constants.DEPREL_FORWARD_BOUND, ones_id,
                     zero_id, False, past_depth, deterministic,
                 )
+                ids2 = jnp.concatenate([ids_f, ids_r], axis=0)
+                plan = self._group_plan(
+                    plans, ("stk", past_depth), ids2, s.shape[0],
+                    deterministic,
+                )
                 x2 = grouped_bilinear(
-                    jnp.concatenate([h, h], axis=0),
-                    jnp.concatenate([ids_f, ids_r], axis=0),
-                    s, bs, impl=impl,
+                    jnp.concatenate([h, h], axis=0), ids2, s, bs,
+                    impl=impl, plan=plan,
                 )
                 bsz = h.shape[0]
                 x_f, x_r = x2[:bsz], x2[bsz:]
             else:
-                x_f = grouped_bilinear(h, ids_f, s, bs, impl=impl)
+                plan = self._group_plan(
+                    plans, ("fwd", past_depth), ids_f, s.shape[0],
+                    deterministic,
+                )
+                x_f = grouped_bilinear(h, ids_f, s, bs, impl=impl,
+                                       plan=plan)
                 x_r = jnp.zeros(h.shape[:2] + (cfg.hidden_dim,), h.dtype)
             if cfg.deprel_self_loop:
                 e_self = deprel_table[constants.SELF_LOOP_INDEX]

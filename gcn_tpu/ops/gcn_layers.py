@@ -80,28 +80,72 @@ def compose_relation_transforms(
     return s, table @ b
 
 
+@jax.custom_vjp
+def permute_rows(x: jax.Array, perm: jax.Array,
+                 inv_perm: jax.Array) -> jax.Array:
+    """``x[perm]`` with a gather-only VJP.
+
+    XLA cannot know ``perm`` is a permutation, so autodiff of a plain
+    ``take`` emits a scatter-ADD — slow on TPU.  With the inverse
+    permutation in hand, the cotangent is just the opposite gather."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (perm, inv_perm)
+
+
+def _permute_bwd(res, g):
+    perm, inv_perm = res
+    return jnp.take(g, inv_perm, axis=0), None, None
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
+
+def make_group_plan(ids: jax.Array, n_groups: int):
+    """Sort plan for ``grouped_bilinear``: (perm, inv_perm, group_sizes,
+    onehot) over flattened token ids.  Reusable across calls whose ids are
+    identical (e.g. every GCN layer when deprel forgetting is off).
+
+    ``onehot`` [M, R] doubles as (a) the bias-gather matmul operand — its
+    transpose-matmul backward keeps the bias gradient on the MXU instead
+    of a scatter-add — and (b) the source of ``group_sizes`` (a reduce,
+    not a bincount scatter)."""
+    flat = ids.reshape(-1).astype(jnp.int32)
+    perm = jnp.argsort(flat)
+    inv_perm = jnp.argsort(perm)
+    onehot = jax.nn.one_hot(flat, n_groups, dtype=jnp.bfloat16)
+    group_sizes = onehot.sum(axis=0).astype(jnp.int32)
+    return perm, inv_perm, group_sizes, onehot
+
+
 def grouped_bilinear(
     h: jax.Array,    # [B, N, T]
     ids: jax.Array,  # [B, N] int32 relation ids in [0, R)
     s: jax.Array,    # [R, T, H] composed per-relation matrices
     bs: jax.Array,   # [R, H] composed per-relation biases
     impl: str = "auto",
+    plan=None,
 ) -> jax.Array:
     """``out[b,n] = h[b,n] @ S[ids[b,n]] + bias[ids[b,n]]`` as a grouped
     (ragged) matmul: sort tokens by relation id, one grouped matmul over
-    the R contiguous groups, scatter back.  The sort/scatter are O(M·T)
-    data movement — negligible next to the matmul it replaces.
+    the R contiguous groups, un-sort.  The plumbing is gather-only in both
+    directions (``permute_rows``) — O(M·T) data movement, negligible next
+    to the matmul it replaces.
 
     ``impl``: "ragged" = ``lax.ragged_dot``; "pallas" = the MoE-style
     visit-scheduled kernel (``ops.pallas.grouped_matmul``) with a fused
-    dx+dS backward; "auto" = pallas on TPU, ragged elsewhere."""
+    dx+dS backward; "auto" = pallas on TPU, ragged elsewhere.
+    ``plan``: precomputed ``make_group_plan(ids, R)`` to share the sort
+    across calls with identical ids."""
     b_sz, n, t = h.shape
     m = b_sz * n
-    flat_ids = ids.reshape(m).astype(jnp.int32)
     h2 = h.reshape(m, t)
-    perm = jnp.argsort(flat_ids)
-    h_sorted = jnp.take(h2, perm, axis=0)
-    group_sizes = jnp.zeros((s.shape[0],), jnp.int32).at[flat_ids].add(1)
+    perm, inv_perm, group_sizes, onehot = (
+        plan if plan is not None else make_group_plan(ids, s.shape[0])
+    )
+    h_sorted = permute_rows(h2, perm, inv_perm)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "ragged"
     if impl == "pallas":
@@ -110,10 +154,10 @@ def grouped_bilinear(
         out_sorted = grouped_matmul(h_sorted, s, group_sizes)
     else:
         out_sorted = jax.lax.ragged_dot(h_sorted, s, group_sizes)
-    out = jnp.zeros((m, s.shape[-1]), out_sorted.dtype).at[perm].set(
-        out_sorted
-    )
-    out = out + jnp.take(bs, flat_ids, axis=0)
+    out = permute_rows(out_sorted, inv_perm, perm)
+    # bias gather as a [M,R]@[R,H] matmul: backward becomes onehotᵀ@g on
+    # the MXU instead of a scatter-add into the bias table
+    out = out + jnp.matmul(onehot.astype(out.dtype), bs.astype(out.dtype))
     return out.reshape(b_sz, n, s.shape[-1])
 
 

@@ -17,6 +17,13 @@ def _pallas_mode(v: str):
     return "auto" if v.lower() == "auto" else str2bool(v)
 
 
+def _factored_mode(v: str):
+    lv = v.lower()
+    if lv in ("auto", "ragged", "pallas"):
+        return lv
+    return str2bool(v)
+
+
 def str2bool(v: str) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
@@ -119,10 +126,16 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    help="Fused Pallas edge-list aggregation kernels: "
                         "true | false | auto (measured crossover — fused "
                         "once B*N >= 8192 on TPU, XLA below).")
-    p.add_argument("--deprel_factored", type=_pallas_mode, default="auto",
+    p.add_argument("--deprel_factored", type=_factored_mode, default="auto",
                    help="Factored full_deprel: per-relation composed "
                         "matrices + one grouped matmul (~25x fewer FLOPs, "
-                        "same math). true | false | auto (= on).")
+                        "same math). true | false | auto (= on) | "
+                        "ragged | pallas (force a grouped-matmul backend).")
+    p.add_argument("--prng_impl", type=str, default="auto",
+                   choices=["auto", "threefry", "rbg"],
+                   help="PRNG backend for dropout/edge-drop masks: auto = "
+                        "TPU hardware rng (measured ~0.6 ms/step cheaper "
+                        "than threefry), threefry elsewhere.")
     p.add_argument("--profile_dir", type=str, default="",
                    help="Capture a jax.profiler trace of early training "
                         "steps into this directory.")
@@ -175,6 +188,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.use_pallas = args.use_pallas
     m.deprel_factored = args.deprel_factored
 
+    t.prng_impl = args.prng_impl
     t.lr = args.lr
     t.lr_decay = args.lr_decay
     t.decay_epoch = args.decay_epoch

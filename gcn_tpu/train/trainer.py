@@ -80,6 +80,9 @@ class Trainer:
     ):
         self.cfg = cfg
         self.model = GCNClassifier(cfg.model)
+        from gcn_tpu.utils.rng import configure_prng
+
+        configure_prng(cfg.train.prng_impl)
         seed = cfg.train.seed if rng_seed is None else rng_seed
         key = jax.random.key(seed)
         key, p_key, d_key, self._key = jax.random.split(key, 4)
