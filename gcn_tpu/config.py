@@ -86,9 +86,12 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Use the fused Pallas edge-list SpMM kernel for regular-mode GCN
     # layers (adjacency built in VMEM, never materialized in HBM).
-    use_pallas: bool | str = "auto"  # True | False | "auto" (measured
-                                     # crossover: fused kernels once
-                                     # B·N ≥ 8192 on TPU, XLA below)
+    use_pallas: bool | str = "auto"  # True | False | "auto" (= off: with
+                                     # the factored full_deprel path the
+                                     # fused kernels measure within noise
+                                     # of dense XLA at every batch; they
+                                     # remain available for their
+                                     # no-[B,N,N]-in-HBM memory property)
     # Factored full_deprel evaluation: compose per-relation matrices
     # S[r] = Σ_d table[r,d]·W[d] once per step, then one grouped (ragged)
     # matmul h[m] @ S[ids[m]] — identical math to the reference's

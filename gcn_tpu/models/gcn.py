@@ -178,17 +178,18 @@ class GCNClassifier(nn.Module):
         # come from cheap edge-list degree counts instead of the dense
         # matrix.  Stochastic edge dropout samples per-band masks, which the
         # single-mask kernels don't model — fall back to dense then.
-        # "auto" follows the measured crossover (tools/step_breakdown.py
-        # --batches, bf16 on v5e): XLA wins at B·N ≈ 4800 (B=50 flagship),
-        # the kernels win once the XLA einsum's [B·N, D·T] intermediate is
-        # HBM-bound (1.14x at B·N ≥ ~9600); TPU only — interpret mode on
-        # CPU is for tests.
+        # "auto" = off: since the factored full_deprel path removed the
+        # einsum's [B·N, D·T] HBM intermediate, the measured sweep
+        # (tools/step_breakdown.py --batches, bf16+rbg on v5e) shows the
+        # dense-XLA and fused paths within run-to-run noise at every batch
+        # (B=50: 1.56M vs 1.45M edges/s; B=100: 1.84 vs 1.82; B=200: 1.83
+        # vs 1.74) with XLA slightly ahead — the kernels remain available
+        # (use_pallas=true) for their no-[B,N,N]-in-HBM memory property.
+        # The attention mode always uses the Pallas SDDMM (measured 2.6×
+        # the XLA gather path) regardless of this flag.
         use_pallas = cfg.use_pallas
         if use_pallas == "auto":
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and words.shape[0] * n >= 8192
-            )
+            use_pallas = False
         edge_drop_active = (not deterministic) and cfg.edge_keep_prob < 1.0
         use_fused = use_pallas and (
             (cfg.adj_type == "regular" and not cfg.no_adj)

@@ -124,8 +124,9 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                         "vs the reference's shuffle-then-chunk).")
     p.add_argument("--use_pallas", type=_pallas_mode, default="auto",
                    help="Fused Pallas edge-list aggregation kernels: "
-                        "true | false | auto (measured crossover — fused "
-                        "once B*N >= 8192 on TPU, XLA below).")
+                        "true | false | auto (= off; measured within "
+                        "noise of dense XLA at every batch since the "
+                        "factored full_deprel path landed).")
     p.add_argument("--deprel_factored", type=_factored_mode, default="auto",
                    help="Factored full_deprel: per-relation composed "
                         "matrices + one grouped matmul (~25x fewer FLOPs, "

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 
 import __graft_entry__ as g
 import bench
+from gcn_tpu.utils.rng import configure_prng
 from gcn_tpu.utils.timing import calibrate, scalar_chain_time, step_flops
+
+configure_prng("auto")  # the product default (TrainConfig.prng_impl)
 
 
 def bench_forward(cfg, batch, label):
