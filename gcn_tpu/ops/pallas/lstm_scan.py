@@ -20,9 +20,13 @@ time loop as a sequential Pallas grid:
 
 Backward is full BPTT as a second Pallas kernel running the grid in
 reverse: carries ``dh``/``dc`` in scratch, streams the forward's saved
-activated gates and states, accumulates ``dW_hh`` in VMEM, and emits
-``dxp`` per step.  The input-projection matmuls stay in XLA on both sides
-of the ``custom_vjp`` boundary, so their gradients are XLA's business.
+h/c states, RECOMPUTES the activated gates from ``xp + h_prev @ W_hh``
+(one extra MXU matmul per step is far cheaper than the [T,G,B,4H]
+residual write+read it replaces), accumulates ``dW_hh`` in VMEM, and
+emits ``dxp`` per step.  Residual states are saved in xp's dtype, so
+mixed-precision training halves the residual traffic.  The
+input-projection matmuls stay in XLA on both sides of the ``custom_vjp``
+boundary, so their gradients are XLA's business.
 
 Replaces the reference's cuDNN LSTM dispatch (``model/gcn.py:186-197``)
 with a TPU-native persistent kernel.
@@ -38,8 +42,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gate_math(xp_block, h, whh):
+    """Pre-activation → activated gates (shared by fwd and the
+    recompute-in-backward path so the values are bit-identical)."""
+    gates = xp_block.astype(jnp.float32) + jax.lax.dot_general(
+        h, whh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                   # [G, B, 4H]
+    hd = h.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :hd])
+    f = jax.nn.sigmoid(gates[..., hd:2 * hd])
+    g = jnp.tanh(gates[..., 2 * hd:3 * hd])
+    o = jax.nn.sigmoid(gates[..., 3 * hd:])
+    return i, f, g, o
+
+
 def _fwd_kernel(len_ref, xp_ref, whh_ref,
-                h_out_ref, c_out_ref, gates_out_ref,
+                h_out_ref, c_out_ref,
                 h_scr, c_scr):
     t = pl.program_id(0)
 
@@ -50,15 +69,7 @@ def _fwd_kernel(len_ref, xp_ref, whh_ref,
 
     h = h_scr[:]                                        # [G, B, H]
     c = c_scr[:]
-    gates = xp_ref[0].astype(jnp.float32) + jax.lax.dot_general(
-        h, whh_ref[:], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                   # [G, B, 4H]
-    hd = h.shape[-1]
-    i = jax.nn.sigmoid(gates[..., :hd])
-    f = jax.nn.sigmoid(gates[..., hd:2 * hd])
-    g = jnp.tanh(gates[..., 2 * hd:3 * hd])
-    o = jax.nn.sigmoid(gates[..., 3 * hd:])
+    i, f, g, o = _gate_math(xp_ref[0], h, whh_ref[:])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
@@ -69,12 +80,13 @@ def _fwd_kernel(len_ref, xp_ref, whh_ref,
     c_scr[:] = c2
     h_out_ref[0] = h2.astype(h_out_ref.dtype)
     c_out_ref[0] = c2.astype(c_out_ref.dtype)
-    gates_out_ref[0] = jnp.concatenate(
-        [i, f, g, o], axis=-1
-    ).astype(gates_out_ref.dtype)
 
 
 def _run_forward(xp, lengths, w_hh, *, interpret: bool):
+    """The forward saves only h/c states (in xp's dtype — bf16 halves the
+    residual traffic in mixed precision); activated gates are RECOMPUTED
+    in the backward kernel from xp + h_prev, saving a [T,G,B,4H] HBM
+    write+read round-trip per step."""
     t_dim, g_dim, b, h4 = xp.shape
     hd = h4 // 4
     len2 = lengths.astype(jnp.int32).reshape(b, 1)
@@ -83,9 +95,8 @@ def _run_forward(xp, lengths, w_hh, *, interpret: bool):
     return pl.pallas_call(
         _fwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((t_dim, g_dim, b, hd), jnp.float32),
-            jax.ShapeDtypeStruct((t_dim, g_dim, b, hd), jnp.float32),
-            jax.ShapeDtypeStruct((t_dim, g_dim, b, h4), jnp.float32),
+            jax.ShapeDtypeStruct((t_dim, g_dim, b, hd), xp.dtype),
+            jax.ShapeDtypeStruct((t_dim, g_dim, b, hd), xp.dtype),
         ),
         grid=(t_dim,),
         in_specs=[
@@ -95,14 +106,14 @@ def _run_forward(xp, lengths, w_hh, *, interpret: bool):
             pl.BlockSpec((g_dim, hd, h4), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(vec_t(hd), vec_t(hd), vec_t(h4)),
+        out_specs=(vec_t(hd), vec_t(hd)),
         scratch_shapes=[
             pltpu.VMEM((g_dim, b, hd), jnp.float32),
             pltpu.VMEM((g_dim, b, hd), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_dim * g_dim * b * hd * h4,
-            bytes_accessed=4 * (xp.size + 6 * t_dim * g_dim * b * hd
+            bytes_accessed=4 * (xp.size + 2 * t_dim * g_dim * b * hd
                                 + w_hh.size),
             transcendentals=4 * t_dim * g_dim * b * hd,
         ),
@@ -110,7 +121,7 @@ def _run_forward(xp, lengths, w_hh, *, interpret: bool):
     )(len2, xp, w_hh)
 
 
-def _bwd_kernel(len_ref, gy_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
+def _bwd_kernel(len_ref, gy_ref, xp_ref, c_ref, cprev_ref, hprev_ref,
                 whh_ref, dxp_ref, dwhh_ref, dh_scr, dc_scr, dwhh_scr):
     i_step = pl.program_id(0)
     t_dim = pl.num_programs(0)
@@ -124,14 +135,12 @@ def _bwd_kernel(len_ref, gy_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
 
     hd = dh_scr.shape[-1]
     valid = (len_ref[:] > t)[None]                       # [1, B, 1]
-    gates = gates_ref[0]                                 # [G, B, 4H]
-    i = gates[..., :hd]
-    f = gates[..., hd:2 * hd]
-    g = gates[..., 2 * hd:3 * hd]
-    o = gates[..., 3 * hd:]
-    c_new = c_ref[0]
-    c_prev = jnp.where(t > 0, cprev_ref[0], 0.0)
-    h_prev = jnp.where(t > 0, hprev_ref[0], 0.0)
+    c_new = c_ref[0].astype(jnp.float32)
+    c_prev = jnp.where(t > 0, cprev_ref[0].astype(jnp.float32), 0.0)
+    h_prev = jnp.where(t > 0, hprev_ref[0].astype(jnp.float32), 0.0)
+    # recompute the activated gates from xp + h_prev (one extra MXU matmul)
+    # instead of streaming a [T,G,B,4H] residual saved by the forward
+    i, f, g, o = _gate_math(xp_ref[0], h_prev, whh_ref[:])
 
     # y[t] = valid ? h_state[t] : 0, and the h/c carries freeze when
     # invalid — so on invalid rows the incoming dh/dc pass straight
@@ -167,7 +176,7 @@ def _bwd_kernel(len_ref, gy_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
         dwhh_ref[:] = dwhh_scr[:].astype(dwhh_ref.dtype)
 
 
-def _run_backward(gy, lengths, w_hh, h_states, c_states, gates, *,
+def _run_backward(gy, lengths, w_hh, xp, h_states, c_states, *,
                   interpret: bool):
     t_dim, g_dim, b, hd = gy.shape
     h4 = 4 * hd
@@ -194,7 +203,7 @@ def _run_backward(gy, lengths, w_hh, h_states, c_states, gates, *,
             pl.BlockSpec((b, 1), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
             rev(hd),            # gy
-            rev(h4),            # gates
+            rev(h4),            # xp (gate recompute)
             rev(hd),            # c_states (t)
             rev_prev(hd),       # c_states (t-1)
             rev_prev(hd),       # h_states (t-1)
@@ -207,13 +216,12 @@ def _run_backward(gy, lengths, w_hh, h_states, c_states, gates, *,
             pltpu.VMEM((g_dim, hd, h4), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * t_dim * g_dim * b * hd * h4,
-            bytes_accessed=4 * (3 * gy.size + 2 * gates.size
-                                + 2 * w_hh.size),
-            transcendentals=t_dim * g_dim * b * hd,
+            flops=6 * t_dim * g_dim * b * hd * h4,
+            bytes_accessed=4 * (3 * gy.size + xp.size + 2 * w_hh.size),
+            transcendentals=5 * t_dim * g_dim * b * hd,
         ),
         interpret=interpret,
-    )(len2, gy, gates, c_states, c_states, h_states, w_hh)
+    )(len2, gy, xp, c_states, c_states, h_states, w_hh)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -229,23 +237,23 @@ def lstm_scan_stacked(xp, lengths, w_hh, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    h_states, _, _ = _run_forward(xp, lengths, w_hh, interpret=interpret)
+    h_states, _ = _run_forward(xp, lengths, w_hh, interpret=interpret)
     return h_states
 
 
 def _fwd(xp, lengths, w_hh, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    h_states, c_states, gates = _run_forward(
+    h_states, c_states = _run_forward(
         xp, lengths, w_hh, interpret=interpret
     )
-    return h_states, (lengths, w_hh, h_states, c_states, gates)
+    return h_states, (lengths, w_hh, xp, h_states, c_states)
 
 
 def _bwd(interpret, res, gy):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    lengths, w_hh, h_states, c_states, gates = res
+    lengths, w_hh, xp, h_states, c_states = res
     # freeze-carry rows replicate h[t-1]: their cotangent arrives via the
     # carry chain inside the kernel, so out-of-range gy must be zero —
     # enforce it (cheap) instead of assuming the caller masked.
@@ -256,9 +264,9 @@ def _bwd(interpret, res, gy):
         gy.astype(jnp.float32), 0.0,
     )
     dxp, dwhh = _run_backward(
-        gy, lengths, w_hh, h_states, c_states, gates, interpret=interpret
+        gy, lengths, w_hh, xp, h_states, c_states, interpret=interpret
     )
-    return dxp, None, dwhh
+    return dxp.astype(xp.dtype), None, dwhh.astype(w_hh.dtype)
 
 
 lstm_scan_stacked.defvjp(_fwd, _bwd)
