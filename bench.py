@@ -111,6 +111,47 @@ def bench_train_step(cfg, batch, label: str):
     return dt, edges, flops
 
 
+def bench_eval_step(cfg, batch, label: str):
+    """Inference (eval-mode forward) throughput — the serving-path metric.
+
+    Deterministic forward + softmax, chained through a scalar so every
+    iteration executes (same honest methodology as the train-step bench).
+    """
+    from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.utils.timing import scalar_chain_time, step_flops
+
+    model = GCNClassifier(cfg.model)
+    params = jax.jit(lambda r, bb: model.init(r, bb, True))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch
+    )
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def step(s):
+        p = jax.tree.map(
+            lambda a: a + (s * 1e-30).astype(a.dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        logits, _ = model.apply(p, batch, True)
+        return jax.nn.softmax(logits, axis=-1).astype(jnp.float32).sum()
+
+    dt = scalar_chain_time(step, on_device=True)
+    b = int(np.asarray(batch["example_mask"]).sum())
+    edges = int(np.asarray(batch["edge_mask"]).sum())
+    rec = {
+        "record": f"eval_step:{label}",
+        "ms_per_batch": round(dt * 1e3, 3),
+        "sentences_per_sec": round(b / dt, 1),
+        "edges_per_sec": round(edges / dt, 1),
+    }
+    flops = step_flops(step, jnp.float32(0.0))
+    if flops:
+        rec["cost_analysis_flops"] = flops
+    diag(**rec)
+    return dt, b
+
+
 def main() -> None:
     import __graft_entry__ as g
 
@@ -145,6 +186,13 @@ def main() -> None:
         results[label] = (dt, edges)
         flops = flops or fl
 
+    # inference throughput (serving path) — diagnostic record on stderr
+    cfg = g._flagship_cfg(tiny=tiny)
+    cfg.model.compute_dtype = "bfloat16"
+    eval_dt, eval_b = bench_eval_step(
+        cfg, g._synthetic_batch(cfg, b=b, n=n), "bf16"
+    )
+
     # headline = the fastest measured configuration; all are reported
     label = min(results, key=lambda k: results[k][0])
     dt, edges = results[label]
@@ -157,6 +205,7 @@ def main() -> None:
         f"{k}_edges_per_sec": round(v[1] / v[0], 1)
         for k, v in results.items()
     }
+    rates["eval_sentences_per_sec"] = round(eval_b / eval_dt, 1)
     print(json.dumps({
         "metric": "cgcn_train_step_edges_per_sec",
         "value": round(value, 1),
