@@ -189,6 +189,11 @@ class Config:
     info: str = ""
     model_save_dir: str = "saved_models"
     log: str = "logs.txt"
+    # Reference-compatible artifact redirection (reference train.py:64,91,
+    # 176-180): when set, confusion-matrix / misclassified dumps go to
+    # test_save_dir/<id>/ instead of the run directory.
+    test_save_dir: str = ""
+    test_confusion_save_file: str = ""
 
     # ------------------------------------------------------------------ IO
     def to_dict(self) -> dict:
@@ -207,7 +212,8 @@ class Config:
             mesh=build(MeshConfig, d.get("mesh", {})),
             **{
                 k: d[k]
-                for k in ("id", "info", "model_save_dir", "log")
+                for k in ("id", "info", "model_save_dir", "log",
+                          "test_save_dir", "test_confusion_save_file")
                 if k in d
             },
         )

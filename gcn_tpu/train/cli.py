@@ -91,6 +91,20 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--async_save", type=str2bool, default=False,
                    help="Write checkpoints on a background thread.")
     p.add_argument("--id", type=str, default="00")
+    p.add_argument("--test_save_dir", type=str, default="",
+                   help="Reference-compatible: redirect confusion/"
+                        "misclassified artifacts to <test_save_dir>/<id>/ "
+                        "(default: the run directory).")
+    p.add_argument("--test_confusion_save_file", type=str, default="",
+                   help="Reference-compatible: explicit path for the test "
+                        "confusion-matrix pickle.")
+    p.add_argument("--cuda", action="store_true",
+                   help="Accepted for reference-script compatibility "
+                        "(no-op: the accelerator is the TPU backend).")
+    p.add_argument("--deprel_attn", action="store_true",
+                   help="Accepted for reference-script compatibility "
+                        "(dead code there; see --adj_type attention for "
+                        "the working edge-attention mode here).")
     p.add_argument("--info", type=str, default="")
     p.add_argument("--seed", type=int, default=1234)
 
@@ -147,7 +161,10 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    help="Enable jax.debug_nans (fail fast on NaNs).")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend.")
-    p.set_defaults(dataset=dataset)
+    p.add_argument("--dataset", type=str, default=dataset,
+                   choices=["tacred", "semeval"],
+                   help="Dataset flavor (reference train.py:107); the "
+                        "TACRED and SemEval entry points set the default.")
     return p
 
 
@@ -215,6 +232,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
     d.train_file = args.train_file
 
     cfg.id = args.id
+    cfg.test_save_dir = args.test_save_dir
+    cfg.test_confusion_save_file = args.test_confusion_save_file
     cfg.info = args.info
     cfg.model_save_dir = args.model_save_dir
     cfg.log = args.log

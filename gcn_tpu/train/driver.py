@@ -340,7 +340,13 @@ def run_training(
                             test_m["recall"] * 100, test_m["f1"] * 100)
                 )
             # confusion matrices + misclassified dumps (train.py:296-319,
-            # written into the run dir rather than the dataset dir)
+            # written into the run dir by default; --test_save_dir /
+            # --test_confusion_save_file redirect like the reference's
+            # train.py:176-180)
+            art_dir = run_dir
+            if cfg.test_save_dir:
+                art_dir = os.path.join(cfg.test_save_dir, cfg.id)
+                os.makedirs(art_dir, exist_ok=True)
             for split, labels, batcher, ds in (
                 ("test", test_labels, test_batcher, test_ds),
                 ("dev", dev_labels, dev_batcher, dev_ds),
@@ -350,8 +356,11 @@ def run_training(
                 gold = np.array(batcher.gold())
                 pred = np.array(labels)
                 cm = scorer.compute_confusion_matrices(gold, pred)
-                with open(os.path.join(
-                        run_dir, f"{split}_confusion_matrix.pkl"), "wb") as f:
+                cm_path = os.path.join(
+                    art_dir, f"{split}_confusion_matrix.pkl")
+                if split == "test" and cfg.test_confusion_save_file:
+                    cm_path = cfg.test_confusion_save_file
+                with open(cm_path, "wb") as f:
                     pickle.dump(cm, f)
                 wrong = [
                     ds.raw_data[batcher.order[i]]
@@ -360,7 +369,7 @@ def run_training(
                 import json as _json
 
                 with open(os.path.join(
-                        run_dir, f"{split}_incorrect_data.json"), "w") as f:
+                        art_dir, f"{split}_incorrect_data.json"), "w") as f:
                     _json.dump(wrong, f)
 
         print("Best Dev Metrics | F1: {} | Precision: {} | Recall: {}".format(

@@ -139,6 +139,12 @@ class Trainer:
 
         return jax.value_and_grad(loss_fn)(params)
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+    def _accum_add(self, acc, grads):
+        # one jitted program instead of per-leaf eager adds (eager dispatch
+        # over the remote TPU relay costs seconds per op)
+        return jax.tree.map(jnp.add, acc, grads)
+
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _apply_grads(self, params, opt_state, grads):
         # donated params/opt_state update in place on device (no fresh
@@ -166,7 +172,7 @@ class Trainer:
         if self._accum is None:
             self._accum = grads
         else:
-            self._accum = jax.tree.map(jnp.add, self._accum, grads)
+            self._accum = self._accum_add(self._accum, grads)
         self._accum_count += 1
         self.global_step += 1
         if self._accum_count >= self.cfg.train.update_gap:
