@@ -122,3 +122,28 @@ def test_group_by_length_batching():
     gold_ids = [ds.label2id[g] for g in grouped.gold()]
     assert gold_ids == l2
     assert collections.Counter(l1) == collections.Counter(l2)
+
+
+@pytest.mark.slow
+def test_artifact_redirection_flags(tmp_path):
+    """Reference-compatible --test_save_dir / --test_confusion_save_file
+    redirect the confusion/misclassified artifacts (reference
+    train.py:176-180); --cuda and --deprel_attn are accepted no-ops."""
+    save = str(tmp_path / "runs")
+    art = str(tmp_path / "perf")
+    cm_file = str(tmp_path / "cm.pkl")
+    run_cli(
+        "train.py", "--cpu", "--cuda", "--deprel_attn", "--id", "rd",
+        "--no-rnn", "--num_epoch", "1", "--hidden_dim", "16",
+        "--emb_dim", "300", "--batch_size", "20",
+        "--effective_batch_size", "20", "--model_save_dir", save,
+        "--test_save_dir", art, "--test_confusion_save_file", cm_file,
+        "--dataset", "tacred",
+    )
+    art_dir = os.path.join(art, "rd")
+    assert os.path.exists(os.path.join(art_dir, "dev_confusion_matrix.pkl"))
+    assert os.path.exists(os.path.join(art_dir, "test_incorrect_data.json"))
+    assert os.path.exists(cm_file)  # explicit test confusion path honored
+    # not duplicated into the run dir when redirected
+    assert not os.path.exists(
+        os.path.join(save, "rd", "test_incorrect_data.json"))
