@@ -111,6 +111,34 @@ def bench_train_step(cfg, batch, label: str):
     return dt, edges, flops
 
 
+def bench_trainer_api(cfg, batch, label: str):
+    """The PRODUCT training path — ``Trainer.update`` exactly as the CLI
+    drives it (fused step, in-program RNG fold).  Guards against
+    regressions where the product path silently diverges from the
+    hand-built benched program (round-2 example: a host-side
+    ``jax.random.split`` per step cost ~10 ms of eager dispatch over the
+    relay while the benched monolith ran at 2.4 ms)."""
+    import jax.numpy as jnp
+
+    from gcn_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg, init_batch=batch)
+    red = jax.jit(lambda p: jnp.sum(p["params"]["classifier"]["bias"]))
+    tr.update(batch)
+    float(red(tr.params))  # forces the compile + first execution
+
+    def chain(k):
+        for _ in range(k):
+            tr.update(batch)
+        float(red(tr.params))
+
+    dt = slope_time(chain, *((2, 4) if "--tiny" in sys.argv else (10, 30)))
+    edges = int(np.asarray(batch["edge_mask"]).sum())
+    diag(record=f"train_step:{label}", ms_per_step=round(dt * 1e3, 3),
+         edges_per_sec=round(edges / dt, 1))
+    return dt, edges
+
+
 def bench_eval_step(cfg, batch, label: str):
     """Inference (eval-mode forward) throughput — the serving-path metric.
 
@@ -185,6 +213,15 @@ def main() -> None:
         dt, edges, fl = bench_train_step(cfg, batch, label)
         results[label] = (dt, edges)
         flops = flops or fl
+
+    # the PRODUCT path (Trainer.update as the CLI drives it) — must stay
+    # within noise of the fastest hand-built variant
+    cfg = g._flagship_cfg(tiny=tiny)
+    cfg.model.compute_dtype = "bfloat16"
+    api_dt, api_edges = bench_trainer_api(
+        cfg, g._synthetic_batch(cfg, b=b, n=n), "trainer_api"
+    )
+    results["trainer_api"] = (api_dt, api_edges)
 
     # inference throughput (serving path) — diagnostic record on stderr
     cfg = g._flagship_cfg(tiny=tiny)

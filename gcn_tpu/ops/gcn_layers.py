@@ -16,6 +16,8 @@ Shapes:  h [B,N,T], bands [B,N,N], W [T,H], deprel embs [B,N,D].
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -103,6 +105,14 @@ def _permute_bwd(res, g):
 permute_rows.defvjp(_permute_fwd, _permute_bwd)
 
 
+def _plan_local(flat: jax.Array, n_groups: int):
+    perm = jnp.argsort(flat)
+    inv_perm = jnp.argsort(perm)
+    onehot = jax.nn.one_hot(flat, n_groups, dtype=jnp.bfloat16)
+    group_sizes = onehot.sum(axis=0).astype(jnp.int32)
+    return perm, inv_perm, group_sizes, onehot
+
+
 def make_group_plan(ids: jax.Array, n_groups: int):
     """Sort plan for ``grouped_bilinear``: (perm, inv_perm, group_sizes,
     onehot) over flattened token ids.  Reusable across calls whose ids are
@@ -111,13 +121,29 @@ def make_group_plan(ids: jax.Array, n_groups: int):
     ``onehot`` [M, R] doubles as (a) the bias-gather matmul operand — its
     transpose-matmul backward keeps the bias gradient on the MXU instead
     of a scatter-add — and (b) the source of ``group_sizes`` (a reduce,
-    not a bincount scatter)."""
+    not a bincount scatter).
+
+    Under an active ``shard_ctx.local_grouping`` mesh the plan is built
+    *per data shard* inside ``shard_map`` (grouping is row-local math, so
+    a global sort would only burn ICI bandwidth): ``perm``/``inv_perm``
+    hold shard-local row indices and ``group_sizes`` stacks the per-shard
+    [R] counts — consumed with the same specs by ``grouped_bilinear``."""
+    from gcn_tpu.utils.shard_ctx import active_grouping
+
     flat = ids.reshape(-1).astype(jnp.int32)
-    perm = jnp.argsort(flat)
-    inv_perm = jnp.argsort(perm)
-    onehot = jax.nn.one_hot(flat, n_groups, dtype=jnp.bfloat16)
-    group_sizes = onehot.sum(axis=0).astype(jnp.int32)
-    return perm, inv_perm, group_sizes, onehot
+    ctx = active_grouping()
+    if ctx is None or flat.shape[0] % dict(ctx[0].shape)[ctx[1]] != 0:
+        return _plan_local(flat, n_groups)
+    mesh, da, _ = ctx
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        lambda f: _plan_local(f, n_groups),
+        mesh=mesh,
+        in_specs=P(da),
+        out_specs=(P(da), P(da), P(da), P(da, None)),
+        check_vma=False,
+    )(flat)
 
 
 def grouped_bilinear(
@@ -138,16 +164,58 @@ def grouped_bilinear(
     visit-scheduled kernel (``ops.pallas.grouped_matmul``) with a fused
     dx+dS backward; "auto" = pallas on TPU, ragged elsewhere.
     ``plan``: precomputed ``make_group_plan(ids, R)`` to share the sort
-    across calls with identical ids."""
+    across calls with identical ids.
+
+    Under an active ``shard_ctx.local_grouping`` mesh the whole
+    sort → grouped-matmul → un-sort runs inside ``shard_map`` over the
+    data axis with **zero collectives** in the forward (each shard groups
+    its own rows; the math is row-local so placement is irrelevant), and
+    the composed matrices shard their H dim over the model axis when it
+    divides (matching ``mesh.param_shardings`` on the bilinear weight)."""
+    from gcn_tpu.utils.shard_ctx import active_grouping
+
     b_sz, n, t = h.shape
     m = b_sz * n
     h2 = h.reshape(m, t)
-    perm, inv_perm, group_sizes, onehot = (
-        plan if plan is not None else make_group_plan(ids, s.shape[0])
-    )
-    h_sorted = permute_rows(h2, perm, inv_perm)
+    if plan is None:
+        plan = make_group_plan(ids, s.shape[0])
+    perm, inv_perm, group_sizes, onehot = plan
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "ragged"
+    ctx = active_grouping()
+    if ctx is not None and m % dict(ctx[0].shape)[ctx[1]] != 0:
+        ctx = None  # mirrors make_group_plan's fallback for ragged batches
+    if ctx is None:
+        out = _grouped_core(h2, perm, inv_perm, group_sizes, onehot, s, bs,
+                            impl=impl)
+    else:
+        mesh, da, ma = ctx
+        from jax.sharding import PartitionSpec as P
+
+        shard_h = (
+            ma is not None
+            and dict(mesh.shape).get(ma, 1) > 1
+            and s.shape[-1] % mesh.shape[ma] == 0
+        )
+        h_ax = ma if shard_h else None
+        out = jax.shard_map(
+            partial(_grouped_core, impl=impl),
+            mesh=mesh,
+            in_specs=(P(da, None), P(da), P(da), P(da), P(da, None),
+                      P(None, None, h_ax), P(None, h_ax)),
+            out_specs=P(da, h_ax),
+            check_vma=False,
+        )(h2, perm, inv_perm, group_sizes, onehot, s, bs)
+    return out.reshape(b_sz, n, s.shape[-1])
+
+
+def _grouped_core(h2, perm, inv_perm, group_sizes, onehot, s, bs,
+                  impl: str):
+    """sort → grouped matmul → un-sort → +bias over [M, T] rows.
+
+    Row-local: runs identically on the full batch (single device) or on
+    one data shard's rows inside ``shard_map``."""
+    h_sorted = permute_rows(h2, perm, inv_perm)
     if impl == "pallas":
         from gcn_tpu.ops.pallas.grouped_matmul import grouped_matmul
 
@@ -157,8 +225,7 @@ def grouped_bilinear(
     out = permute_rows(out_sorted, inv_perm, perm)
     # bias gather as a [M,R]@[R,H] matmul: backward becomes onehotᵀ@g on
     # the MXU instead of a scatter-add into the bias table
-    out = out + jnp.matmul(onehot.astype(out.dtype), bs.astype(out.dtype))
-    return out.reshape(b_sz, n, s.shape[-1])
+    return out + jnp.matmul(onehot.astype(out.dtype), bs.astype(out.dtype))
 
 
 def bilinear_traverse(

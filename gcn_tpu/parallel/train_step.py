@@ -26,11 +26,18 @@ from gcn_tpu.parallel.mesh import (
 from gcn_tpu.train.trainer import conv_l2_penalty
 
 
-def make_loss_fn(model: GCNClassifier, cfg: Config) -> Callable:
+def make_loss_fn(model: GCNClassifier, cfg: Config,
+                 mesh: Mesh | None = None) -> Callable:
+    """``mesh`` activates shard-local grouping for the factored
+    full_deprel path (``utils.shard_ctx``): tokens are sorted/grouped per
+    data shard inside ``shard_map`` instead of via a cross-device sort."""
+    from gcn_tpu.utils.shard_ctx import local_grouping
+
     def loss_fn(params, batch, key):
-        logits, pooled = model.apply(
-            params, batch, False, rngs={"dropout": key}
-        )
+        with local_grouping(mesh):
+            logits, pooled = model.apply(
+                params, batch, False, rngs={"dropout": key}
+            )
         em = batch["example_mask"].astype(jnp.float32)
         denom = jnp.maximum(em.sum(), 1.0)
         ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -65,7 +72,7 @@ def make_sharded_train_step(
     is donated+jitted with explicit shardings: batch over ``data``, large
     tables over ``model`` (see ``mesh.param_shardings``).
     """
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
     p_shard = param_shardings(mesh, params)
     o_shard = opt_shardings(mesh, opt_state, params)
     b_shard = batch_shardings(mesh, example_batch)

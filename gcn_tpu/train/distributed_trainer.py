@@ -48,6 +48,9 @@ class DistributedTrainer(Trainer):
                 model_axis = 1
             mesh = make_mesh(data=n // model_axis, model=model_axis)
         self.mesh = mesh
+        # jitted steps group the factored full_deprel tokens per data
+        # shard (shard_map; no cross-device sort) — see utils.shard_ctx
+        self._grouping_mesh = mesh
         self._place_state()
 
     def _place_tree(self, tree, shardings):

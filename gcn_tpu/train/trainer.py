@@ -80,6 +80,9 @@ class Trainer:
     ):
         self.cfg = cfg
         self.model = GCNClassifier(cfg.model)
+        # set by DistributedTrainer: activates shard-local grouping for the
+        # factored full_deprel path inside the jitted steps (trace-time)
+        self._grouping_mesh = None
         from gcn_tpu.utils.rng import configure_prng
 
         configure_prng(cfg.train.prng_impl)
@@ -116,28 +119,43 @@ class Trainer:
         self.global_step = 0
 
     # ------------------------------------------------------------ jit steps
-    @partial(jax.jit, static_argnums=0)
-    def _loss_and_grads(self, params, batch, key):
-        def loss_fn(p):
-            logits, pooled = self.model.apply(
-                p, batch, False, rngs={"dropout": key}
-            )
-            em = batch["example_mask"].astype(jnp.float32)
-            denom = jnp.maximum(em.sum(), 1.0)
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits, batch["labels"]
-            )
-            loss = (ce * em).sum() / denom
-            if self.cfg.train.conv_l2 > 0:
-                loss = loss + self.cfg.train.conv_l2 * conv_l2_penalty(
-                    p, self.cfg.model.adj_type
-                )
-            if self.cfg.train.pooling_l2 > 0:
-                pen = (jnp.square(pooled).sum(1) * em).sum() / denom
-                loss = loss + self.cfg.train.pooling_l2 * pen
-            return loss
+    def _loss(self, params, batch, key, step):
+        """Training loss (CE over valid rows + conv/pooling L2 penalties,
+        reference ``model/trainer.py:94-100``).  Traced inside the jitted
+        steps below.
 
-        return jax.value_and_grad(loss_fn)(params)
+        The dropout stream is ``fold_in(base_key, global_step)`` computed
+        IN-PROGRAM: a host-side ``jax.random.split`` per step would be an
+        eager dispatch (expensive over the TPU relay), and deriving from
+        the step counter makes the stream reproducible across ``--resume``
+        (a split chain restarts wherever the restored process left it)."""
+        from gcn_tpu.utils.shard_ctx import local_grouping
+
+        step_key = jax.random.fold_in(key, step)
+        with local_grouping(self._grouping_mesh):
+            logits, pooled = self.model.apply(
+                params, batch, False, rngs={"dropout": step_key}
+            )
+        em = batch["example_mask"].astype(jnp.float32)
+        denom = jnp.maximum(em.sum(), 1.0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["labels"]
+        )
+        loss = (ce * em).sum() / denom
+        if self.cfg.train.conv_l2 > 0:
+            loss = loss + self.cfg.train.conv_l2 * conv_l2_penalty(
+                params, self.cfg.model.adj_type
+            )
+        if self.cfg.train.pooling_l2 > 0:
+            pen = (jnp.square(pooled).sum(1) * em).sum() / denom
+            loss = loss + self.cfg.train.pooling_l2 * pen
+        return loss
+
+    @partial(jax.jit, static_argnums=0)
+    def _loss_and_grads(self, params, batch, key, step):
+        return jax.value_and_grad(
+            lambda p: self._loss(p, batch, key, step)
+        )(params)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def _accum_add(self, acc, grads):
@@ -152,9 +170,25 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _fused_step(self, params, opt_state, batch, key, step):
+        """grad + clip + optimizer update as ONE program — used when
+        ``update_gap == 1`` (the flagship TACRED config): one dispatch per
+        step instead of two, and the gradient tree never round-trips HBM
+        between programs.  Accumulating configs keep the two-program path
+        (the accumulation buffer lives between dispatches by design)."""
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss(p, batch, key, step)
+        )(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
     @partial(jax.jit, static_argnums=0)
     def _forward_eval(self, params, batch):
-        logits, _ = self.model.apply(params, batch, True)
+        from gcn_tpu.utils.shard_ctx import local_grouping
+
+        with local_grouping(self._grouping_mesh):
+            logits, _ = self.model.apply(params, batch, True)
         em = batch["example_mask"].astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["labels"]
@@ -167,14 +201,21 @@ class Trainer:
     def update(self, batch: dict):
         """Forward+backward; steps the optimizer every ``update_gap``
         accumulated batches (reference ``train.py:209-227``)."""
-        self._key, sub = jax.random.split(self._key)
-        loss, grads = self._loss_and_grads(self.params, batch, sub)
+        step = np.int32(self.global_step)  # dynamic scalar: no retrace
+        self.global_step += 1
+        if self.cfg.train.update_gap <= 1 and self._accum is None:
+            # every batch is an optimizer step: one fused program
+            self.params, self.opt_state, loss = self._fused_step(
+                self.params, self.opt_state, batch, self._key, step
+            )
+            return loss
+        loss, grads = self._loss_and_grads(self.params, batch, self._key,
+                                           step)
         if self._accum is None:
             self._accum = grads
         else:
             self._accum = self._accum_add(self._accum, grads)
         self._accum_count += 1
-        self.global_step += 1
         if self._accum_count >= self.cfg.train.update_gap:
             self.flush_gradients()
         # return the DEVICE scalar: converting to float here would block on
@@ -276,4 +317,9 @@ class Trainer:
         meta = blob.get("meta", {})
         if meta.get("current_lr") is not None:
             self.update_lr(float(meta["current_lr"]))
+        # restore the step counter: the jitted steps derive the dropout
+        # stream as fold_in(base_key, global_step), so a resumed run only
+        # reproduces the original stream if the counter continues
+        if meta.get("global_step") is not None:
+            self.global_step = int(meta["global_step"])
         return meta

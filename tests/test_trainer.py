@@ -180,3 +180,83 @@ def test_seeded_training_is_deterministic(small_cfg, data):
     leaves2 = jax.tree_util.tree_leaves(runs[1])
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_step_matches_two_program_path():
+    """``_fused_step`` (one jitted program, update_gap==1) must produce
+    exactly the params/opt_state/loss of the two-program
+    ``_loss_and_grads`` + ``_apply_grads`` sequence given the same
+    (key, step) — both derive the dropout stream via in-program fold_in."""
+    import numpy as np
+
+    from gcn_tpu.config import cgcn_preset
+    from gcn_tpu.train.trainer import Trainer, _dummy_batch
+
+    cfg = cgcn_preset()
+    cfg.model.vocab_size = 64
+    cfg.model.emb_dim = 16
+    cfg.model.pos_dim = 4
+    cfg.model.ner_dim = 4
+    cfg.model.rnn_hidden = 8
+    cfg.model.hidden_dim = 8
+    cfg.model.deprel_emb_dim = 4
+    assert cfg.train.update_gap == 1
+    batch = _dummy_batch(cfg)
+
+    tr_a = Trainer(cfg, rng_seed=3, init_batch=batch)
+    tr_b = Trainer(cfg, rng_seed=3, init_batch=batch)
+    step = np.int32(0)
+    pa, oa, loss_a = tr_a._fused_step(
+        tr_a.params, tr_a.opt_state, batch, tr_a._key, step
+    )
+    loss_b, grads = tr_b._loss_and_grads(tr_b.params, batch, tr_b._key, step)
+    pb, ob = tr_b._apply_grads(tr_b.params, tr_b.opt_state, grads)
+
+    assert float(loss_a) == float(loss_b)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)
+        ),
+        pa, pb,
+    )
+
+
+def test_resume_reproduces_uninterrupted_dropout_stream(tmp_path):
+    """A checkpoint-resumed run must produce bit-identical params to an
+    uninterrupted run: the dropout stream is fold_in(base_key, global_step)
+    and ``Trainer.load`` restores the step counter, so the resumed process
+    continues the exact stream (a host-side split chain could not)."""
+    from gcn_tpu.config import cgcn_preset
+    from gcn_tpu.train.trainer import Trainer, _dummy_batch
+
+    cfg = cgcn_preset()
+    cfg.model.vocab_size = 64
+    cfg.model.emb_dim = 16
+    cfg.model.pos_dim = 4
+    cfg.model.ner_dim = 4
+    cfg.model.rnn_hidden = 8
+    cfg.model.hidden_dim = 8
+    cfg.model.deprel_emb_dim = 4
+    batch = _dummy_batch(cfg)
+
+    straight = Trainer(cfg, rng_seed=11, init_batch=batch)
+    for _ in range(4):
+        straight.update(batch)
+
+    first = Trainer(cfg, rng_seed=11, init_batch=batch)
+    for _ in range(2):
+        first.update(batch)
+    first.save(str(tmp_path / "ck"))
+
+    resumed = Trainer(cfg, rng_seed=11, init_batch=batch)
+    meta = resumed.load(str(tmp_path / "ck"))
+    assert resumed.global_step == 2, meta
+    for _ in range(2):
+        resumed.update(batch)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        straight.params, resumed.params,
+    )
