@@ -97,7 +97,9 @@ def bench_train_step(cfg, batch, label: str):
             p, o, loss = full_step(p, o, batch, key)
         float(red(p))
 
-    dt = slope_time(chain, *((2, 4) if "--tiny" in sys.argv else (10, 30)))
+    tiny = "--tiny" in sys.argv
+    dt = slope_time(chain, *((2, 4) if tiny else (10, 30)),
+                    repeats=2 if tiny else 5)
     edges = int(np.asarray(batch["edge_mask"]).sum())
     rec = {
         "record": f"train_step:{label}",
@@ -132,7 +134,9 @@ def bench_trainer_api(cfg, batch, label: str):
             tr.update(batch)
         float(red(tr.params))
 
-    dt = slope_time(chain, *((2, 4) if "--tiny" in sys.argv else (10, 30)))
+    tiny = "--tiny" in sys.argv
+    dt = slope_time(chain, *((2, 4) if tiny else (10, 30)),
+                    repeats=2 if tiny else 5)
     edges = int(np.asarray(batch["edge_mask"]).sum())
     diag(record=f"train_step:{label}", ms_per_step=round(dt * 1e3, 3),
          edges_per_sec=round(edges / dt, 1))

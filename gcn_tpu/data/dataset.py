@@ -243,6 +243,11 @@ class Batcher:
             order[i : i + batch_size] for i in range(0, len(order), batch_size)
         ]
         self.num_examples = len(order)
+        # eval batches are deterministic (no word dropout, fixed order), so
+        # they are materialized once and replayed — the driver evaluates
+        # train/dev/test every epoch, and at ~0.7 ms/batch the per-example
+        # padding loop is on par with the device forward itself
+        self._cache: Optional[list] = None
 
     def gold(self) -> list[str]:
         """Gold labels in iteration order (reference ``data/loader.py:74-76``)."""
@@ -334,5 +339,17 @@ class Batcher:
         return batch
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
-        for chunk in self.chunks:
-            yield self.materialize(chunk)
+        if not self.evaluation:
+            # training batches re-sample word->UNK dropout every epoch
+            # (reference data/loader.py:97-100) — never cached
+            for chunk in self.chunks:
+                yield self.materialize(chunk)
+        elif self._cache is not None:
+            yield from self._cache
+        else:
+            cache = []
+            for chunk in self.chunks:
+                batch = self.materialize(chunk)
+                cache.append(batch)
+                yield batch
+            self._cache = cache

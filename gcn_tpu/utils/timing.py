@@ -51,10 +51,23 @@ def slope_time(run_chain, k1: int = 20, k2: int = 60, repeats: int = 3):
     ``run_chain(k)`` must execute k data-dependent iterations and block on
     a host fetch of the final result.  The fetch + relay round-trip is a
     fixed cost that cancels in the difference.
+
+    The shared tunneled chip shows minutes-scale load swings (2x observed),
+    so the (k1, k2) samples are INTERLEAVED and the minimum per chain
+    length is taken across repeats: contention only ever adds time, and
+    interleaving keeps a load shift between the k1 phase and the k2 phase
+    from corrupting the slope.  If every window was contended such that
+    t(k2) <= t(k1), fall back to the conservative average t(k2)/k2
+    (includes the fixed round-trip — overstates, never understates).
     """
-    t1 = min(timeit(run_chain, k1) for _ in range(repeats))
-    t2 = min(timeit(run_chain, k2) for _ in range(repeats))
-    return max(t2 - t1, 1e-9) / (k2 - k1)
+    t1s, t2s = [], []
+    for _ in range(repeats):
+        t1s.append(timeit(run_chain, k1))
+        t2s.append(timeit(run_chain, k2))
+    t1, t2 = min(t1s), min(t2s)
+    if t2 <= t1:
+        return t2 / k2
+    return (t2 - t1) / (k2 - k1)
 
 
 def calibrate(n: int = 4096) -> float:
