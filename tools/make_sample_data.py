@@ -87,6 +87,54 @@ def make_example(rng, i, dataset="tacred"):
     return ex
 
 
+def make_learnable_example(rng, i, dataset="tacred"):
+    """Example whose relation IS predictable from observable features: a
+    relation-specific trigger token attached (in the dependency tree) to
+    the object token, plus the matching subject entity type.  Unlike the
+    random-label examples above, held-out F1 on this data measures real
+    generalization — `tools/train_compare.py --data_mode learnable` uses
+    it to compare both frameworks' learned quality, not just their
+    memorization rate.
+
+    The trigger is appended as a LEAF of the object's head token, so
+    path-centric pruning at K>=1 (reference model/tree.py:129-162) always
+    keeps it: distance-to-path 1.  Solvable by GCN-only models (no RNN
+    needed), since the trigger survives pruning and pooling."""
+    C = constants if dataset == "tacred" else constants_semeval
+    ex = make_example(rng, i, dataset)
+    # 8 active relations: keeps per-class counts dense enough that a few
+    # hundred examples suffice to learn the mapping (41-way needs ~10x)
+    labels = [l for l in C.LABEL_TO_ID if l != C.NEGATIVE_LABEL][:8]
+    neg = rng.rand() < 0.25
+    if neg:
+        ex["relation"] = C.NEGATIVE_LABEL
+        return ex
+    rel = labels[rng.randint(len(labels))]
+    ex["relation"] = rel
+    if dataset == "tacred":
+        ex["subj_type"] = "PERSON" if rel.startswith("per:") else "ORGANIZATION"
+    # trigger leaf attached to the object's first token (1-indexed head)
+    trig = "trg" + "".join(ch if ch.isalnum() else "_" for ch in rel)
+    ex["token"] = ex["token"] + [trig]
+    ex["stanford_head"] = ex["stanford_head"] + [str(ex["obj_start"] + 1)]
+    ex["stanford_pos"] = ex["stanford_pos"] + ["NN"]
+    if "stanford_ner" in ex:
+        ex["stanford_ner"] = ex["stanford_ner"] + ["O"]
+    dep_tags = [t for t in list(constants.DEPREL_TO_ID)[2:42]]
+    ex["stanford_deprel"] = ex["stanford_deprel"] + [
+        dep_tags[rng.randint(len(dep_tags))]
+    ]
+    return ex
+
+
+def learnable_trigger_words(dataset="tacred"):
+    C = constants if dataset == "tacred" else constants_semeval
+    return [
+        "trg" + "".join(ch if ch.isalnum() else "_" for ch in rel)
+        for rel in C.LABEL_TO_ID if rel != C.NEGATIVE_LABEL
+    ]
+
+
 def entity_masks():
     subj = list(constants.SUBJ_NER_TO_ID.keys())[2:]
     obj = list(constants.OBJ_NER_TO_ID.keys())[2:]
@@ -98,8 +146,16 @@ def main():
     p.add_argument("--out", default="dataset")
     p.add_argument("--n", type=int, default=40)
     p.add_argument("--emb_dim", type=int, default=300)
+    p.add_argument("--task", choices=["random", "learnable"],
+                   default="random",
+                   help="random = arbitrary labels (smoke data; held-out "
+                        "F1 is noise); learnable = relation predictable "
+                        "from a trigger token + entity types, so dev/test "
+                        "F1 measures generalization")
     args = p.parse_args()
     rng = np.random.RandomState(1234)
+    gen = (make_learnable_example if args.task == "learnable"
+           else make_example)
 
     for dataset, subdir in (("tacred", "tacred"), ("semeval", "semeval")):
         d = os.path.join(args.out, subdir)
@@ -110,13 +166,16 @@ def main():
         if dataset == "semeval":
             splits = (("train", args.n), ("test", args.n // 2))
         for split, count in splits:
-            exs = [make_example(rng, i, dataset) for i in range(count)]
+            exs = [gen(rng, i, dataset) for i in range(count)]
             with open(os.path.join(d, f"{split}.json"), "w") as f:
                 json.dump(exs, f)
         print(f"{dataset}: wrote {[s for s, _ in splits]} to {d}")
 
     # vocab + random embeddings covering the synthetic corpus
-    vocab = constants.VOCAB_PREFIX + entity_masks() + sorted(WORDS)
+    extra = (sorted(set(learnable_trigger_words("tacred")
+                        + learnable_trigger_words("semeval")))
+             if args.task == "learnable" else [])
+    vocab = constants.VOCAB_PREFIX + entity_masks() + sorted(WORDS) + extra
     for name in ("vocab", "vocab_semeval"):
         vd = os.path.join(args.out, name)
         os.makedirs(vd, exist_ok=True)
