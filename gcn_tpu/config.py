@@ -143,6 +143,12 @@ class TrainConfig:
     # ms/step cheaper than threefry at flagship shapes, still deterministic
     # per seed), threefry elsewhere.  "threefry" forces the JAX default.
     prng_impl: str = "auto"
+    # pack each host batch into ONE int32 buffer for transfer (13 leaf
+    # transfers otherwise, each a network round trip on a tunneled TPU)
+    pack_transfers: bool = True
+    # >1: scan k same-bucket packed batches per dispatch (one transfer +
+    # one program per k optimizer steps; bit-identical to per-step runs)
+    steps_per_dispatch: int = 1
     word_dropout: float = 0.04
     conv_l2: float = 0.0
     pooling_l2: float = 0.0

@@ -146,6 +146,16 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                         "matrices + one grouped matmul (~25x fewer FLOPs, "
                         "same math). true | false | auto (= on) | "
                         "ragged | pallas (force a grouped-matmul backend).")
+    p.add_argument("--pack_transfers", type=str2bool, default=True,
+                   help="Pack each batch into one int32 buffer for the "
+                        "host->device transfer (13 leaf transfers "
+                        "otherwise - each one a network round trip on a "
+                        "tunneled TPU; measured ~4.3 ms/batch).")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="Scan k same-bucket batches per dispatch (one "
+                        "transfer + one program per k optimizer steps; "
+                        "bit-identical losses/params). Requires "
+                        "effective_batch_size == batch_size.")
     p.add_argument("--prng_impl", type=str, default="auto",
                    choices=["auto", "threefry", "rbg"],
                    help="PRNG backend for dropout/edge-drop masks: auto = "
@@ -207,6 +217,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.deprel_factored = args.deprel_factored
 
     t.prng_impl = args.prng_impl
+    t.pack_transfers = args.pack_transfers
+    t.steps_per_dispatch = args.steps_per_dispatch
     t.lr = args.lr
     t.lr_decay = args.lr_decay
     t.decay_epoch = args.decay_epoch

@@ -51,6 +51,8 @@ class DistributedTrainer(Trainer):
         # jitted steps group the factored full_deprel tokens per data
         # shard (shard_map; no cross-device sort) — see utils.shard_ctx
         self._grouping_mesh = mesh
+        # batches arrive as pre-placed sharded device arrays (_place_batch)
+        self._pack = False
         self._place_state()
 
     def _place_tree(self, tree, shardings):

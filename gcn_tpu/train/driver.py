@@ -247,30 +247,22 @@ def run_training(
     if resumed_best:
         best_metrics = resumed_best
 
+    spd = max(1, int(cfg.train.steps_per_dispatch))
+    use_chunks = (spd > 1 and cfg.train.update_gap <= 1
+                  and getattr(trainer, "_pack", False))
+
     for epoch in range(start_epoch, cfg.train.num_epoch + 1):
         epoch_losses = []  # device scalars: converted once per epoch so the
         meter.start()      # step loop never blocks on a device round-trip
-        for i, batch in enumerate(train_batcher):
-            if epoch == start_epoch and i < skip_batches:
-                continue  # consumed before the resume point
-            start = time.time()
-            global_step += 1
-            if profile_dir and not profiled and global_step == 3:
-                # trace a few warm steps (skip compiles)
-                with trace(profile_dir):
-                    loss = trainer.update(batch)
-                profiled = True
-                print(f"profiler trace written to {profile_dir}")
-            else:
-                loss = trainer.update(batch)
+
+        def step_bookkeeping(i, batch, loss, sec, epoch=epoch):
             epoch_losses.append(loss)
             meter.step(int(batch["edge_mask"].sum()),
                        int(batch["example_mask"].sum()))
             if global_step % cfg.train.log_step == 0:
                 print(fmt.format(
                     datetime.now(), global_step, max_steps, epoch,
-                    cfg.train.num_epoch, float(loss), time.time() - start,
-                    current_lr,
+                    cfg.train.num_epoch, float(loss), sec, current_lr,
                 ) + f" [{meter.summary()}]")
             if (cfg.train.save_steps
                     and global_step % cfg.train.save_steps == 0):
@@ -289,6 +281,60 @@ def run_training(
                                 and not name.endswith(".tmp")
                                 and name != f"checkpoint_step_{global_step}"):
                             rmtree(os.path.join(run_dir, name))
+
+        buf: list = []
+        buf_t0 = 0.0
+
+        def flush_buf():
+            # one dispatch + one host->device transfer for the whole
+            # buffer (Trainer._chunk_step lax.scan); bookkeeping replays
+            # per step from the returned loss vector.  Chunks are cut at
+            # save_steps boundaries so step checkpoints always snapshot
+            # exactly-global_step state.
+            nonlocal buf, buf_t0, global_step, profiled
+            if not buf:
+                return
+            if profile_dir and not profiled:
+                with trace(profile_dir):
+                    losses = trainer.update_chunk([b for _, b in buf])
+                profiled = True
+                print(f"profiler trace written to {profile_dir}")
+            else:
+                losses = trainer.update_chunk([b for _, b in buf])
+            sec = (time.time() - buf_t0) / len(buf)
+            for (bi, bb), loss in zip(buf, losses):
+                global_step += 1
+                step_bookkeeping(bi, bb, loss, sec)
+            buf = []
+
+        for i, batch in enumerate(train_batcher):
+            if epoch == start_epoch and i < skip_batches:
+                continue  # consumed before the resume point
+            if use_chunks:
+                if buf and batch["words"].shape != buf[0][1]["words"].shape:
+                    flush_buf()
+                if not buf:
+                    buf_t0 = time.time()
+                buf.append((i, batch))
+                cap = spd
+                if cfg.train.save_steps:
+                    cap = min(cap, cfg.train.save_steps
+                              - global_step % cfg.train.save_steps)
+                if len(buf) >= cap:
+                    flush_buf()
+                continue
+            start = time.time()
+            global_step += 1
+            if profile_dir and not profiled and global_step == 3:
+                # trace a few warm steps (skip compiles)
+                with trace(profile_dir):
+                    loss = trainer.update(batch)
+                profiled = True
+                print(f"profiler trace written to {profile_dir}")
+            else:
+                loss = trainer.update(batch)
+            step_bookkeeping(i, batch, loss, time.time() - start)
+        flush_buf()
         trainer.flush_gradients()
         train_loss = float(np.sum(np.asarray(
             [float(l) for l in epoch_losses])))

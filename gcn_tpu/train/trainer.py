@@ -117,6 +117,12 @@ class Trainer:
         self._accum = None
         self._accum_count = 0
         self.global_step = 0
+        # single-buffer host->device batch transfer (data.packing): one
+        # int32 array instead of 13 leaves, each of which pays a network
+        # round trip on a tunneled TPU.  DistributedTrainer disables it
+        # (its batches are pre-placed sharded device arrays).
+        self._pack = (cfg.train.pack_transfers
+                      and not cfg.model.use_bert_embeddings)
 
     # ------------------------------------------------------------ jit steps
     def _loss(self, params, batch, key, step):
@@ -151,8 +157,25 @@ class Trainer:
             loss = loss + self.cfg.train.pooling_l2 * pen
         return loss
 
+    def _unpack(self, packed):
+        """Inverse of ``data.packing.pack_batch`` — traced inside the
+        packed jit wrappers below, so one int32 buffer crosses host→device
+        instead of 13 leaves (each leaf transfer pays a network round trip
+        on the tunneled TPU: measured ~4.3 ms/batch blocked, pure RTT —
+        the whole batch is ~200 KB)."""
+        from gcn_tpu.data.packing import unpack_batch
+
+        return unpack_batch(packed, self.cfg.model.dataset == "tacred")
+
     @partial(jax.jit, static_argnums=0)
     def _loss_and_grads(self, params, batch, key, step):
+        return jax.value_and_grad(
+            lambda p: self._loss(p, batch, key, step)
+        )(params)
+
+    @partial(jax.jit, static_argnums=0)
+    def _loss_and_grads_packed(self, params, packed, key, step):
+        batch = self._unpack(packed)
         return jax.value_and_grad(
             lambda p: self._loss(p, batch, key, step)
         )(params)
@@ -183,8 +206,62 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @partial(jax.jit, static_argnums=0)
-    def _forward_eval(self, params, batch):
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _fused_step_packed(self, params, opt_state, packed, key, step):
+        batch = self._unpack(packed)
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss(p, batch, key, step)
+        )(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _chunk_step(self, params, opt_state, stack, key, step0):
+        """k fused optimizer steps as ONE program: ``lax.scan`` over a
+        [k, B, C] stack of packed batches.  One dispatch + one transfer
+        round trip per k steps instead of per step — the driver's
+        ``steps_per_dispatch`` mode.  Per-step dropout streams are
+        fold_in(key, step0 + i), identical to the per-batch path, so the
+        two paths produce bit-identical parameters."""
+
+        def body(carry, xs):
+            params, opt_state = carry
+            packed, step = xs
+            batch = self._unpack(packed)
+            loss, grads = jax.value_and_grad(
+                lambda p: self._loss(p, batch, key, step)
+            )(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        steps = step0 + jnp.arange(stack.shape[0], dtype=jnp.int32)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (stack, steps)
+        )
+        return params, opt_state, losses
+
+    def update_chunk(self, batches: list) -> list:
+        """Run ``len(batches)`` optimizer steps in one dispatch (all
+        batches must share shapes — the driver groups by length bucket).
+        Returns per-step device losses.  Requires ``update_gap == 1``;
+        falls back to per-batch ``update`` otherwise or when packing
+        does not apply."""
+        from gcn_tpu.data.packing import pack_batch, packable
+
+        if (len(batches) < 2 or self.cfg.train.update_gap > 1
+                or self._accum is not None or not self._pack
+                or not all(packable(b) for b in batches)
+                or len({b["words"].shape for b in batches}) != 1):
+            return [self.update(b) for b in batches]
+        stack = np.stack([pack_batch(b) for b in batches])
+        step0 = np.int32(self.global_step)
+        self.global_step += len(batches)
+        self.params, self.opt_state, losses = self._chunk_step(
+            self.params, self.opt_state, stack, self._key, step0
+        )
+        return list(losses)
+
+    def _eval_core(self, params, batch):
         from gcn_tpu.utils.shard_ctx import local_grouping
 
         with local_grouping(self._grouping_mesh):
@@ -197,20 +274,47 @@ class Trainer:
         probs = jax.nn.softmax(logits, axis=-1)
         return probs, loss
 
+    @partial(jax.jit, static_argnums=0)
+    def _forward_eval(self, params, batch):
+        return self._eval_core(params, batch)
+
+    @partial(jax.jit, static_argnums=0)
+    def _forward_eval_packed(self, params, packed):
+        return self._eval_core(params, self._unpack(packed))
+
     # -------------------------------------------------------------- updates
+    def _maybe_pack(self, batch: dict):
+        """(packed_or_none) — pack eligible host batches into one buffer."""
+        if not self._pack:
+            return None
+        from gcn_tpu.data.packing import pack_batch, packable
+
+        return pack_batch(batch) if packable(batch) else None
+
     def update(self, batch: dict):
         """Forward+backward; steps the optimizer every ``update_gap``
         accumulated batches (reference ``train.py:209-227``)."""
         step = np.int32(self.global_step)  # dynamic scalar: no retrace
         self.global_step += 1
+        packed = self._maybe_pack(batch)
         if self.cfg.train.update_gap <= 1 and self._accum is None:
             # every batch is an optimizer step: one fused program
-            self.params, self.opt_state, loss = self._fused_step(
-                self.params, self.opt_state, batch, self._key, step
-            )
+            if packed is not None:
+                self.params, self.opt_state, loss = self._fused_step_packed(
+                    self.params, self.opt_state, packed, self._key, step
+                )
+            else:
+                self.params, self.opt_state, loss = self._fused_step(
+                    self.params, self.opt_state, batch, self._key, step
+                )
             return loss
-        loss, grads = self._loss_and_grads(self.params, batch, self._key,
-                                           step)
+        if packed is not None:
+            loss, grads = self._loss_and_grads_packed(
+                self.params, packed, self._key, step
+            )
+        else:
+            loss, grads = self._loss_and_grads(self.params, batch,
+                                               self._key, step)
         if self._accum is None:
             self._accum = grads
         else:
@@ -234,10 +338,16 @@ class Trainer:
         self._accum = None
         self._accum_count = 0
 
+    def _eval_forward(self, batch: dict):
+        packed = self._maybe_pack(batch)
+        if packed is not None:
+            return self._forward_eval_packed(self.params, packed)
+        return self._forward_eval(self.params, batch)
+
     def predict_batch(self, batch: dict):
         """Eval-mode predictions for the VALID rows of one padded batch.
         Returns (predictions list[int], probs list[list[float]], loss)."""
-        probs, loss = self._forward_eval(self.params, batch)
+        probs, loss = self._eval_forward(batch)
         probs = np.asarray(probs)
         mask = np.asarray(batch["example_mask"])
         preds = probs.argmax(axis=1)
@@ -275,7 +385,7 @@ class Trainer:
             n += int(mask.sum())
 
         for batch in batches:
-            probs, loss = self._forward_eval(self.params, batch)
+            probs, loss = self._eval_forward(batch)
             pending.append((probs, loss, np.asarray(batch["example_mask"])))
             if len(pending) >= window:
                 drain(pending.pop(0))

@@ -147,3 +147,22 @@ def test_artifact_redirection_flags(tmp_path):
     # not duplicated into the run dir when redirected
     assert not os.path.exists(
         os.path.join(save, "rd", "test_incorrect_data.json"))
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_is_bit_identical(tmp_path):
+    """--steps_per_dispatch scans k batches per program; the per-step
+    fold_in streams are unchanged, so the whole run (losses, params,
+    metrics, logs) must match the per-step driver exactly."""
+    outs = {}
+    for spd in ("1", "4"):
+        save = str(tmp_path / f"runs{spd}")
+        run_cli(
+            "train.py", "--cpu", "--id", "sp", "--no-rnn",
+            "--num_epoch", "2", "--hidden_dim", "16", "--emb_dim", "300",
+            "--batch_size", "5", "--effective_batch_size", "5",
+            "--steps_per_dispatch", spd, "--model_save_dir", save,
+        )
+        with open(os.path.join(save, "sp", "logs.txt")) as f:
+            outs[spd] = f.read()
+    assert outs["1"] == outs["4"], (outs["1"], outs["4"])

@@ -1,0 +1,107 @@
+"""Single-buffer batch transfer (data.packing): exact round-trip and
+bit-identical trainer behavior packed vs plain-dict feed."""
+
+import jax
+import numpy as np
+
+from gcn_tpu.config import cgcn_preset
+from gcn_tpu.data.packing import pack_batch, packable, unpack_batch
+from gcn_tpu.train.trainer import Trainer, _dummy_batch
+
+
+def tiny_cfg(dataset="tacred"):
+    cfg = cgcn_preset()
+    cfg.model.dataset = dataset
+    cfg.model.vocab_size = 64
+    cfg.model.emb_dim = 16
+    cfg.model.pos_dim = 4
+    cfg.model.ner_dim = 4
+    cfg.model.rnn_hidden = 8
+    cfg.model.hidden_dim = 8
+    cfg.model.deprel_emb_dim = 4
+    return cfg
+
+
+def test_pack_roundtrip_exact():
+    for dataset in ("tacred", "semeval"):
+        cfg = tiny_cfg(dataset)
+        batch = _dummy_batch(cfg)
+        assert packable(batch)
+        packed = pack_batch(batch)
+        assert packed.dtype == np.int32 and packed.ndim == 2
+        out = jax.jit(
+            lambda p: unpack_batch(p, dataset == "tacred")
+        )(packed)
+        assert set(out) == set(batch), (set(out), set(batch))
+        for k in batch:
+            a, b = np.asarray(out[k]), np.asarray(batch[k])
+            assert a.dtype == b.dtype, (k, a.dtype, b.dtype)
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def test_bert_batches_not_packable():
+    cfg = tiny_cfg()
+    cfg.model.use_bert_embeddings = True
+    batch = _dummy_batch(cfg, use_bert=True)
+    assert not packable(batch)
+
+
+def test_trainer_packed_matches_dict_feed():
+    """Packed transfer is a pure transport change: loss, updated params
+    and eval probs must be BIT-identical to the plain dict feed."""
+    cfg = tiny_cfg()
+    batch = _dummy_batch(cfg)
+
+    cfg_plain = tiny_cfg()
+    cfg_plain.train.pack_transfers = False
+    tr_packed = Trainer(cfg, rng_seed=5, init_batch=batch)
+    tr_plain = Trainer(cfg_plain, rng_seed=5, init_batch=batch)
+    assert tr_packed._pack and not tr_plain._pack
+
+    for _ in range(3):
+        lp = tr_packed.update(batch)
+        ld = tr_plain.update(batch)
+    assert float(lp) == float(ld)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        tr_packed.params, tr_plain.params,
+    )
+
+    pp, lossp = tr_packed._eval_forward(batch)
+    pd, lossd = tr_plain._eval_forward(batch)
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(pd))
+    assert float(lossp) == float(lossd)
+
+
+def test_update_chunk_matches_sequential():
+    """k steps scanned in one dispatch must produce bit-identical params
+    and losses to k per-batch updates (same fold_in streams)."""
+    cfg = tiny_cfg()
+    b1 = _dummy_batch(cfg)
+    b2 = {k: (v + 1 if k == "words" else v) for k, v in b1.items()}
+    b3 = {k: (v + 2 if k == "words" else v) for k, v in b1.items()}
+    batches = [b1, b2, b3, b1]
+
+    tr_seq = Trainer(cfg, rng_seed=9, init_batch=b1)
+    seq_losses = [float(tr_seq.update(b)) for b in batches]
+
+    tr_chunk = Trainer(cfg, rng_seed=9, init_batch=b1)
+    chunk_losses = [float(x) for x in tr_chunk.update_chunk(batches)]
+
+    assert seq_losses == chunk_losses
+    assert tr_chunk.global_step == tr_seq.global_step == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        tr_seq.params, tr_chunk.params,
+    )
+
+    # mixed shapes fall back to per-batch updates transparently
+    wide = _dummy_batch(cfg)
+    wide = {k: (np.concatenate([v, v], axis=1)
+                if v.ndim == 2 else v) for k, v in wide.items()}
+    out = tr_chunk.update_chunk([b1, wide])
+    assert len(out) == 2 and tr_chunk.global_step == 6

@@ -68,6 +68,9 @@ def main() -> None:
                    help="timed epochs (one extra warm epoch compiles)")
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="scan k same-bucket batches per dispatch "
+                        "(Trainer.update_chunk)")
     p.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     args = p.parse_args()
 
@@ -90,6 +93,7 @@ def main() -> None:
     cfg.model.compute_dtype = args.compute_dtype
     cfg.train.batch_size = args.batch_size
     cfg.train.effective_batch_size = args.batch_size  # update_gap == 1
+    cfg.train.steps_per_dispatch = args.steps_per_dispatch
     configure_prng(cfg.train.prng_impl)
 
     t0 = time.perf_counter()
@@ -106,12 +110,23 @@ def main() -> None:
     red = jax.jit(lambda p: jnp.sum(p["params"]["classifier"]["bias"]))
 
     def run_epoch():
-        last = None
+        spd = max(1, args.steps_per_dispatch)
+        buf = []
+
+        def flush():
+            if buf:
+                trainer.update_chunk(list(buf))
+                buf.clear()
+
         for batch in batcher:
-            last = trainer.update(batch)
+            if buf and batch["words"].shape != buf[0]["words"].shape:
+                flush()
+            buf.append(batch)
+            if len(buf) >= spd:
+                flush()
+        flush()
         trainer.flush_gradients()
         float(red(trainer.params))  # block: everything enqueued has run
-        return last
 
     t0 = time.perf_counter()
     run_epoch()  # warm: one compile per length bucket
