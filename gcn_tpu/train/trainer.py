@@ -282,6 +282,18 @@ class Trainer:
     def _forward_eval_packed(self, params, packed):
         return self._eval_core(params, self._unpack(packed))
 
+    @partial(jax.jit, static_argnums=0)
+    def _forward_eval_chunk(self, params, stack):
+        """Eval forwards over a [k, B, C] packed stack in ONE program —
+        one transfer + one dispatch per k batches (``steps_per_dispatch``
+        applies to evaluation too)."""
+
+        def body(_, packed):
+            return None, self._eval_core(params, self._unpack(packed))
+
+        _, (probs, losses) = jax.lax.scan(body, None, stack)
+        return probs, losses
+
     # -------------------------------------------------------------- updates
     def _maybe_pack(self, batch: dict):
         """(packed_or_none) — pack eligible host batches into one buffer."""
@@ -384,13 +396,60 @@ class Trainer:
             total_loss += float(loss)
             n += int(mask.sum())
 
-        for batch in batches:
-            probs, loss = self._eval_forward(batch)
-            pending.append((probs, loss, np.asarray(batch["example_mask"])))
-            if len(pending) >= window:
-                drain(pending.pop(0))
-        for item in pending:
-            drain(item)
+        spd = max(1, self.cfg.train.steps_per_dispatch)
+        if spd > 1 and self._pack:
+            # chunked: one transfer + one program per spd batches; each
+            # pending item carries a whole chunk's results
+            from gcn_tpu.data.packing import pack_batch, packable
+
+            buf: list[dict] = []
+
+            def flush():
+                if not buf:
+                    return
+                masks = [np.asarray(b["example_mask"]) for b in buf]
+                if len(buf) == 1:
+                    probs, loss = self._eval_forward(buf[0])
+                    pending.append(([probs], [loss], masks))
+                else:
+                    stack = np.stack([pack_batch(b) for b in buf])
+                    probs, losses = self._forward_eval_chunk(
+                        self.params, stack
+                    )
+                    pending.append((list(probs), list(losses), masks))
+                buf.clear()
+                if len(pending) >= max(window // spd, 2):
+                    for p, l, m in zip(*pending.pop(0)):
+                        drain((p, l, m))
+
+            for batch in batches:
+                if not packable(batch):
+                    flush()
+                    probs, loss = self._eval_forward(batch)
+                    pending.append(
+                        ([probs], [loss],
+                         [np.asarray(batch["example_mask"])])
+                    )
+                    continue
+                if buf and batch["words"].shape != buf[0]["words"].shape:
+                    flush()
+                buf.append(batch)
+                if len(buf) >= spd:
+                    flush()
+            flush()
+            for chunk in pending:
+                for p, l, m in zip(*chunk):
+                    drain((p, l, m))
+        else:
+            for batch in batches:
+                probs, loss = self._eval_forward(batch)
+                pending.append(
+                    (probs, loss, np.asarray(batch["example_mask"]))
+                )
+                if len(pending) >= window:
+                    drain(pending.pop(0))
+            for item in pending:
+                drain(item)
         avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
 

@@ -105,3 +105,26 @@ def test_update_chunk_matches_sequential():
                 if v.ndim == 2 else v) for k, v in wide.items()}
     out = tr_chunk.update_chunk([b1, wide])
     assert len(out) == 2 and tr_chunk.global_step == 6
+
+
+def test_evaluate_chunked_matches_sequential():
+    """Chunked evaluation (steps_per_dispatch > 1) must return the exact
+    preds/probs/avg-loss of the per-batch path, across shape changes."""
+    cfg = tiny_cfg()
+    b1 = _dummy_batch(cfg)
+    b2 = {k: (v + 1 if k == "words" else v) for k, v in b1.items()}
+    wide = {k: (np.concatenate([v, v], axis=1) if v.ndim == 2 else v)
+            for k, v in b1.items()}
+    batches = [b1, b2, b1, wide, b2, b1, b2]
+
+    tr = Trainer(cfg, rng_seed=3, init_batch=b1)
+    seq = tr.evaluate(list(batches))
+
+    cfg2 = tiny_cfg()
+    cfg2.train.steps_per_dispatch = 3
+    tr2 = Trainer(cfg2, rng_seed=3, init_batch=b1)
+    chunked = tr2.evaluate(list(batches))
+
+    assert seq[0] == chunked[0]
+    np.testing.assert_array_equal(np.asarray(seq[1]), np.asarray(chunked[1]))
+    assert seq[2] == chunked[2]
