@@ -38,6 +38,7 @@ def make_loss_fn(model: GCNClassifier, cfg: Config,
             logits, pooled = model.apply(
                 params, batch, False, rngs={"dropout": key}
             )
+        logits = logits.astype(jnp.float32)  # fp32 CE always (see Trainer)
         em = batch["example_mask"].astype(jnp.float32)
         denom = jnp.maximum(em.sum(), 1.0)
         ce = optax.softmax_cross_entropy_with_integer_labels(

@@ -338,6 +338,13 @@ def run_training(
         trainer.flush_gradients()
         train_loss = float(np.sum(np.asarray(
             [float(l) for l in epoch_losses])))
+        # the float() conversions above BLOCK on the epoch's last step, so
+        # this wall-clock rate is fully executed work (the per-step log
+        # lines only see the async enqueue rate)
+        eps, xps, wall = meter.sustained()
+        if epoch_losses:
+            print(f"epoch {epoch} sustained: {eps:,.0f} edges/s, "
+                  f"{xps:,.1f} ex/s over {wall:.2f}s wall")
 
         # deprel embedding snapshot (reference train.py:239-241)
         if is_chief:

@@ -42,10 +42,19 @@ def annotate(name: str):
 
 @dataclass
 class ThroughputMeter:
-    """Running edges/sec and examples/sec with exponential smoothing."""
+    """Running edges/sec and examples/sec with exponential smoothing.
+
+    The per-step EMA measures the HOST LOOP's inter-step time — with an
+    asynchronous device (and especially with ``steps_per_dispatch``
+    chunking) that is an *enqueue* rate, not execution, and can read
+    absurdly high.  ``summary()`` labels it as such; the honest number is
+    ``sustained()``, valid only when called after a blocking fetch (the
+    driver converts the epoch loss right before reading it).
+    """
 
     ema_alpha: float = 0.1
     _last: float | None = field(default=None, repr=False)
+    _epoch_t0: float | None = field(default=None, repr=False)
     edges_per_sec: float = 0.0
     examples_per_sec: float = 0.0
     steps: int = 0
@@ -54,6 +63,10 @@ class ThroughputMeter:
 
     def start(self) -> None:
         self._last = time.perf_counter()
+        self._epoch_t0 = self._last
+        self.total_edges = 0
+        self.total_examples = 0
+        self.steps = 0
 
     def step(self, num_edges: int, num_examples: int) -> None:
         now = time.perf_counter()
@@ -77,7 +90,13 @@ class ThroughputMeter:
 
     def summary(self) -> str:
         return (
-            f"{self.edges_per_sec:,.0f} edges/s, "
+            f"{self.edges_per_sec:,.0f} edges/s enqueued, "
             f"{self.examples_per_sec:,.1f} ex/s "
             f"({self.steps} steps, {self.total_edges:,} edges)"
         )
+
+    def sustained(self) -> tuple[float, float, float]:
+        """(edges/s, examples/s, wall_s) since ``start()`` — honest only
+        after the caller has blocked on the epoch's final result."""
+        wall = max(time.perf_counter() - (self._epoch_t0 or 0.0), 1e-9)
+        return self.total_edges / wall, self.total_examples / wall, wall

@@ -142,6 +142,9 @@ class Trainer:
             logits, pooled = self.model.apply(
                 params, batch, False, rngs={"dropout": step_key}
             )
+        # CE in fp32 always: on bf16 logits the rounding error is ~1e-2
+        # per example and the logged loss can even go negative
+        logits = logits.astype(jnp.float32)
         em = batch["example_mask"].astype(jnp.float32)
         denom = jnp.maximum(em.sum(), 1.0)
         ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -153,6 +156,7 @@ class Trainer:
                 params, self.cfg.model.adj_type
             )
         if self.cfg.train.pooling_l2 > 0:
+            pooled = pooled.astype(jnp.float32)
             pen = (jnp.square(pooled).sum(1) * em).sum() / denom
             loss = loss + self.cfg.train.pooling_l2 * pen
         return loss
@@ -266,6 +270,7 @@ class Trainer:
 
         with local_grouping(self._grouping_mesh):
             logits, _ = self.model.apply(params, batch, True)
+        logits = logits.astype(jnp.float32)  # fp32 CE/softmax always
         em = batch["example_mask"].astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["labels"]
