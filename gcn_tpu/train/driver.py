@@ -336,8 +336,12 @@ def run_training(
             step_bookkeeping(i, batch, loss, time.time() - start)
         flush_buf()
         trainer.flush_gradients()
-        train_loss = float(np.sum(np.asarray(
-            [float(l) for l in epoch_losses])))
+        # ONE fetch for the whole epoch's losses: float() per scalar would
+        # pay a relay round trip each (measured ~20 ms/epoch-batch)
+        from gcn_tpu.train.trainer import device_sum
+
+        train_loss = (float(device_sum(epoch_losses))
+                      if epoch_losses else 0.0)
         # the float() conversions above BLOCK on the epoch's last step, so
         # this wall-clock rate is fully executed work (the per-step log
         # lines only see the async enqueue rate)

@@ -53,6 +53,14 @@ def _dummy_batch(cfg: Config, use_bert: bool = False) -> dict:
     return batch
 
 
+@jax.jit
+def device_sum(scalars: list) -> jax.Array:
+    """Sum a list of device scalars in one program + one fetch.  Module-
+    level so the trace caches across calls (a fresh ``jax.jit(lambda…)``
+    per call re-compiles every time — ~0.4 s/epoch over the relay)."""
+    return sum(scalars[1:], scalars[0])
+
+
 def conv_l2_penalty(params: dict, adj_type: str) -> jax.Array:
     """Σ‖W‖² over GCN layer weights (reference ``conv_l2``,
     ``model/gcn.py:180-184`` — defined for the ModuleList modes; extended
@@ -388,17 +396,17 @@ class Trainer:
         pending: list[tuple] = []
         all_preds: list[int] = []
         all_probs: list[list[float]] = []
-        total_loss = 0.0
+        losses: list = []  # device scalars; ONE fetch at the end
         n = 0
 
         def drain(item):
-            nonlocal total_loss, n
+            nonlocal n
             probs, loss, mask = item
             probs = np.asarray(probs)
             preds = probs.argmax(axis=1)
             all_preds.extend(preds[mask].tolist())
             all_probs.extend(probs[mask].tolist())
-            total_loss += float(loss)
+            losses.append(loss)
             n += int(mask.sum())
 
         spd = max(1, self.cfg.train.steps_per_dispatch)
@@ -409,30 +417,37 @@ class Trainer:
 
             buf: list[dict] = []
 
+            def drain_chunk(chunk):
+                cprobs, closses, masks = chunk
+                # ONE fetch for the whole chunk's probs ([k,B,C]) — a
+                # per-batch np.asarray would pay a round trip per batch
+                cprobs = np.asarray(cprobs)
+                for p, l, m in zip(cprobs, closses, masks):
+                    drain((p, l, m))
+
             def flush():
                 if not buf:
                     return
                 masks = [np.asarray(b["example_mask"]) for b in buf]
                 if len(buf) == 1:
                     probs, loss = self._eval_forward(buf[0])
-                    pending.append(([probs], [loss], masks))
+                    pending.append((probs[None], [loss], masks))
                 else:
                     stack = np.stack([pack_batch(b) for b in buf])
                     probs, losses = self._forward_eval_chunk(
                         self.params, stack
                     )
-                    pending.append((list(probs), list(losses), masks))
+                    pending.append((probs, list(losses), masks))
                 buf.clear()
                 if len(pending) >= max(window // spd, 2):
-                    for p, l, m in zip(*pending.pop(0)):
-                        drain((p, l, m))
+                    drain_chunk(pending.pop(0))
 
             for batch in batches:
                 if not packable(batch):
                     flush()
                     probs, loss = self._eval_forward(batch)
                     pending.append(
-                        ([probs], [loss],
+                        (probs[None], [loss],
                          [np.asarray(batch["example_mask"])])
                     )
                     continue
@@ -443,8 +458,7 @@ class Trainer:
                     flush()
             flush()
             for chunk in pending:
-                for p, l, m in zip(*chunk):
-                    drain((p, l, m))
+                drain_chunk(chunk)
         else:
             for batch in batches:
                 probs, loss = self._eval_forward(batch)
@@ -455,6 +469,7 @@ class Trainer:
                     drain(pending.pop(0))
             for item in pending:
                 drain(item)
+        total_loss = float(device_sum(losses)) if losses else 0.0
         avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
 
