@@ -73,12 +73,18 @@ def common_flags(args, workdir):
     if args.data_mode == "learnable":
         # the generalization protocol: real held-out splits, the
         # hyperparameters measured to solve the 8-class trigger task
-        # (adagrad, no plateau decay, regularization off)
+        # (adagrad, no plateau decay, regularization off).  lr 0.2, NOT
+        # 0.5: at 0.5 this ReLU net (no normalization, one informative
+        # token) falls into a permanent dead-ReLU trap on ~40%% of seeds
+        # in EITHER framework - the GCN output collapses, pooling emits
+        # exact zeros, mlp0's ReLU dies and upstream grads are 0 forever
+        # (diagnosed: logits row-variance 0, all mlp0 activations <= 0,
+        # zero grads for every layer below the classifier)
         flags = [
             "--vocab_dir", os.path.join(workdir, "vocab"),
             "--num_epoch", str(args.num_epoch),
             "--batch_size", str(args.batch_size),
-            "--optim", "adagrad", "--lr", "0.5",
+            "--optim", "adagrad", "--lr", "0.2",
             "--decay_epoch", str(args.num_epoch + 1),
             "--prune_k", "1",
             "--hidden_dim", "64", "--no-rnn",
