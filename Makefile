@@ -10,7 +10,7 @@ native:
 	$(MAKE) -C native
 
 test: native
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n 2
 
 bench:
 	python bench.py

@@ -140,6 +140,40 @@ def bench_trainer_api(cfg, batch, label: str):
     edges = int(np.asarray(batch["edge_mask"]).sum())
     diag(record=f"train_step:{label}", ms_per_step=round(dt * 1e3, 3),
          edges_per_sec=round(edges / dt, 1))
+    return dt, edges, tr
+
+
+def bench_product_loop(tr, batch, label: str, n_batches: int = 40,
+                       repeats: int = 3):
+    """Sustained wall-clock rate of the product loop: ``n_batches``
+    ``Trainer.update`` calls on fresh host arrays (so per-batch packing +
+    transfer + dispatch all count) ended by a blocking fetch.  This is
+    the number a training run actually sustains; the slope-timed rows
+    above cancel fixed per-call costs by design."""
+    import time
+
+    import jax.numpy as jnp
+
+    tr.update(batch)
+    red = jax.jit(lambda p: jnp.sum(p["params"]["classifier"]["bias"]))
+    float(red(tr.params))  # warm
+
+    batches = [
+        {k: np.array(v, copy=True) for k, v in batch.items()}
+        for _ in range(n_batches)
+    ]
+
+    def one_pass():
+        t0 = time.perf_counter()
+        for b in batches:
+            tr.update(b)
+        float(red(tr.params))
+        return time.perf_counter() - t0
+
+    dt = min(one_pass() for _ in range(repeats)) / n_batches
+    edges = int(np.asarray(batch["edge_mask"]).sum())
+    diag(record=f"product_loop:{label}", ms_per_batch=round(dt * 1e3, 3),
+         edges_per_sec=round(edges / dt, 1))
     return dt, edges
 
 
@@ -222,10 +256,17 @@ def main() -> None:
     # within noise of the fastest hand-built variant
     cfg = g._flagship_cfg(tiny=tiny)
     cfg.model.compute_dtype = "bfloat16"
-    api_dt, api_edges = bench_trainer_api(
-        cfg, g._synthetic_batch(cfg, b=b, n=n), "trainer_api"
-    )
+    api_batch = g._synthetic_batch(cfg, b=b, n=n)
+    api_dt, api_edges, api_tr = bench_trainer_api(cfg, api_batch,
+                                                  "trainer_api")
     results["trainer_api"] = (api_dt, api_edges)
+
+    # sustained wall-clock product loop (fresh host arrays per batch:
+    # packing + transfer + dispatch all count; ends on a blocking fetch)
+    loop_dt, loop_edges = bench_product_loop(
+        api_tr, api_batch, "bf16", n_batches=4 if tiny else 40,
+        repeats=2 if tiny else 3,
+    )
 
     # inference throughput (serving path) — diagnostic record on stderr
     cfg = g._flagship_cfg(tiny=tiny)
@@ -247,6 +288,7 @@ def main() -> None:
         for k, v in results.items()
     }
     rates["eval_sentences_per_sec"] = round(eval_b / eval_dt, 1)
+    rates["sustained_loop_edges_per_sec"] = round(loop_edges / loop_dt, 1)
     print(json.dumps({
         "metric": "cgcn_train_step_edges_per_sec",
         "value": round(value, 1),
