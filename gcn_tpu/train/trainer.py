@@ -434,10 +434,12 @@ class Trainer:
                     pending.append((probs[None], [loss], masks))
                 else:
                     stack = np.stack([pack_batch(b) for b in buf])
-                    probs, losses = self._forward_eval_chunk(
+                    # NB: do not name this `losses` — it would shadow the
+                    # outer accumulator that drain() appends to
+                    cprobs, closs = self._forward_eval_chunk(
                         self.params, stack
                     )
-                    pending.append((probs, list(losses), masks))
+                    pending.append((cprobs, list(closs), masks))
                 buf.clear()
                 if len(pending) >= max(window // spd, 2):
                     drain_chunk(pending.pop(0))
