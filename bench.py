@@ -163,10 +163,16 @@ def bench_product_loop(tr, batch, label: str, n_batches: int = 40,
         for _ in range(n_batches)
     ]
 
+    spd = max(1, tr.cfg.train.steps_per_dispatch)
+
     def one_pass():
         t0 = time.perf_counter()
-        for b in batches:
-            tr.update(b)
+        if spd > 1:
+            for i in range(0, len(batches), spd):
+                tr.update_chunk(batches[i : i + spd])
+        else:
+            for b in batches:
+                tr.update(b)
         float(red(tr.params))
         return time.perf_counter() - t0
 
@@ -267,6 +273,19 @@ def main() -> None:
         api_tr, api_batch, "bf16", n_batches=4 if tiny else 40,
         repeats=2 if tiny else 3,
     )
+    # same loop with k-steps-per-dispatch chunking (one transfer + one
+    # program per k steps - the recommended TPU mode, bit-identical)
+    from gcn_tpu.train.trainer import Trainer as _Trainer
+
+    cfg8 = g._flagship_cfg(tiny=tiny)
+    cfg8.model.compute_dtype = "bfloat16"
+    cfg8.train.steps_per_dispatch = 8
+    tr8 = _Trainer(cfg8, init_batch=api_batch)
+    tr8.update_chunk([api_batch] * (2 if tiny else 8))  # compile the scan
+    loop8_dt, loop8_edges = bench_product_loop(
+        tr8, api_batch, "bf16_spd8", n_batches=4 if tiny else 40,
+        repeats=2 if tiny else 3,
+    )
 
     # inference throughput (serving path) — diagnostic record on stderr
     cfg = g._flagship_cfg(tiny=tiny)
@@ -289,6 +308,8 @@ def main() -> None:
     }
     rates["eval_sentences_per_sec"] = round(eval_b / eval_dt, 1)
     rates["sustained_loop_edges_per_sec"] = round(loop_edges / loop_dt, 1)
+    rates["sustained_loop_spd8_edges_per_sec"] = round(
+        loop8_edges / loop8_dt, 1)
     print(json.dumps({
         "metric": "cgcn_train_step_edges_per_sec",
         "value": round(value, 1),
