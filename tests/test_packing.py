@@ -128,3 +128,29 @@ def test_evaluate_chunked_matches_sequential():
     assert seq[0] == chunked[0]
     np.testing.assert_array_equal(np.asarray(seq[1]), np.asarray(chunked[1]))
     assert seq[2] == chunked[2]
+
+
+def test_pack_roundtrip_randomized():
+    """Random shapes/contents round-trip exactly (both dataset flavors)."""
+    rng = np.random.RandomState(0)
+    from gcn_tpu.data.packing import field_order
+
+    for trial in range(20):
+        dataset = "tacred" if trial % 2 == 0 else "semeval"
+        b = int(rng.randint(1, 9))
+        n = int(rng.randint(2, 50))
+        batch = {}
+        for f in field_order(dataset == "tacred"):
+            if f in ("edge_mask", "subj_mask", "obj_mask", "pad_mask"):
+                batch[f] = rng.rand(b, n) < 0.5
+            else:
+                batch[f] = rng.randint(0, 2**20, (b, n)).astype(np.int32)
+        batch["lengths"] = rng.randint(1, n + 1, b).astype(np.int32)
+        batch["labels"] = rng.randint(0, 42, b).astype(np.int32)
+        batch["example_mask"] = rng.rand(b) < 0.8
+        assert packable(batch)
+        out = unpack_batch(pack_batch(batch), dataset == "tacred")
+        for k in batch:
+            a, c = np.asarray(out[k]), np.asarray(batch[k])
+            assert a.dtype == c.dtype, (k, a.dtype, c.dtype)
+            np.testing.assert_array_equal(a, c, err_msg=f"{dataset}/{k}")
