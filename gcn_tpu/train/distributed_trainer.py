@@ -51,8 +51,6 @@ class DistributedTrainer(Trainer):
         # jitted steps group the factored full_deprel tokens per data
         # shard (shard_map; no cross-device sort) — see utils.shard_ctx
         self._grouping_mesh = mesh
-        # batches arrive as pre-placed sharded device arrays (_place_batch)
-        self._pack = False
         self._place_state()
 
     def _place_tree(self, tree, shardings):
@@ -83,23 +81,44 @@ class DistributedTrainer(Trainer):
             placed[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
         return placed
 
+    def _divisible(self, batch: dict) -> bool:
+        return batch["labels"].shape[0] % self.mesh.shape["data"] == 0
+
+    def _packs(self, batch: dict) -> bool:
+        from gcn_tpu.data.packing import packable
+
+        return self._pack and packable(batch) and self._divisible(batch)
+
+    def _maybe_pack(self, batch: dict):
+        # ONE sharded placement for the whole batch instead of 13 per-leaf
+        # scatters; GSPMD propagates the data sharding through the unpack
+        # slices (they only touch the column axis)
+        packed = super()._maybe_pack(batch)
+        if packed is None or not self._divisible(batch):
+            return None
+        return jax.device_put(
+            packed, NamedSharding(self.mesh, P("data", None))
+        )
+
+    def _place_stack(self, stack):
+        return jax.device_put(
+            stack, NamedSharding(self.mesh, P(None, "data", None))
+        )
+
     def update(self, batch: dict):
-        b = batch["labels"].shape[0]
-        if b % self.mesh.shape["data"] == 0:
+        if not self._packs(batch) and self._divisible(batch):
             batch = self._place_batch(batch)
         return super().update(batch)
 
     def predict_batch(self, batch: dict):
-        b = batch["labels"].shape[0]
-        if b % self.mesh.shape["data"] == 0:
+        if not self._packs(batch) and self._divisible(batch):
             batch = self._place_batch(batch)
         return super().predict_batch(batch)
 
     def evaluate(self, batches):
         def place(it):
             for batch in it:
-                b = batch["labels"].shape[0]
-                if b % self.mesh.shape["data"] == 0:
+                if not self._packs(batch) and self._divisible(batch):
                     yield self._place_batch(batch)
                 else:
                     yield batch

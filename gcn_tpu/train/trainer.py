@@ -127,8 +127,9 @@ class Trainer:
         self.global_step = 0
         # single-buffer host->device batch transfer (data.packing): one
         # int32 array instead of 13 leaves, each of which pays a network
-        # round trip on a tunneled TPU.  DistributedTrainer disables it
-        # (its batches are pre-placed sharded device arrays).
+        # round trip on a tunneled TPU.  DistributedTrainer places the
+        # packed buffer sharded over the data axis (one scatter instead of
+        # 13 per-leaf placements).
         self._pack = (cfg.train.pack_transfers
                       and not cfg.model.use_bert_embeddings)
 
@@ -265,7 +266,9 @@ class Trainer:
                 or not all(packable(b) for b in batches)
                 or len({b["words"].shape for b in batches}) != 1):
             return [self.update(b) for b in batches]
-        stack = np.stack([pack_batch(b) for b in batches])
+        stack = self._place_stack(
+            np.stack([pack_batch(b) for b in batches])
+        )
         step0 = np.int32(self.global_step)
         self.global_step += len(batches)
         self.params, self.opt_state, losses = self._chunk_step(
@@ -309,12 +312,19 @@ class Trainer:
 
     # -------------------------------------------------------------- updates
     def _maybe_pack(self, batch: dict):
-        """(packed_or_none) — pack eligible host batches into one buffer."""
+        """(packed_or_none) — pack eligible host batches into one buffer.
+        ``DistributedTrainer`` overrides this to place the packed buffer
+        sharded over the data axis."""
         if not self._pack:
             return None
         from gcn_tpu.data.packing import pack_batch, packable
 
         return pack_batch(batch) if packable(batch) else None
+
+    def _place_stack(self, stack):
+        """Placement hook for [k, B, C] packed stacks (chunk dispatch);
+        the mesh trainer shards the batch axis over ``data``."""
+        return stack
 
     def update(self, batch: dict):
         """Forward+backward; steps the optimizer every ``update_gap``
@@ -433,7 +443,9 @@ class Trainer:
                     probs, loss = self._eval_forward(buf[0])
                     pending.append((probs[None], [loss], masks))
                 else:
-                    stack = np.stack([pack_batch(b) for b in buf])
+                    stack = self._place_stack(
+                        np.stack([pack_batch(b) for b in buf])
+                    )
                     # NB: do not name this `losses` — it would shadow the
                     # outer accumulator that drain() appends to
                     cprobs, closs = self._forward_eval_chunk(

@@ -253,3 +253,44 @@ def test_shard_local_grouping_matches_and_cuts_collectives():
         results["local"][2], results["global"][2],
     )
     assert results["local"][0] < results["global"][0], results
+
+
+def test_distributed_packed_and_chunked_match_single_device():
+    """The mesh trainer's packed (sharded single-buffer) transfer and its
+    chunked k-step dispatch must match the single-device trainer."""
+    from gcn_tpu.config import gcn_preset
+    from gcn_tpu.train.distributed_trainer import DistributedTrainer
+    from gcn_tpu.train.trainer import Trainer
+
+    cfg = gcn_preset()
+    cfg.model.vocab_size = 100
+    cfg.model.emb_dim = 16
+    cfg.model.hidden_dim = 16
+    cfg.model.pos_dim = 4
+    cfg.model.ner_dim = 4
+    cfg.model.input_dropout = 0.0
+    cfg.model.gcn_dropout = 0.0
+    cfg.train.batch_size = 8
+    batch = graft._synthetic_batch(
+        graft._flagship_cfg(tiny=True), b=8, n=16
+    )
+    batch["words"] = batch["words"] % 100
+    b2 = dict(batch, words=(batch["words"] + 1) % 100)
+
+    t1 = Trainer(cfg, rng_seed=0)
+    t2 = DistributedTrainer(cfg, rng_seed=0)
+    assert t2._packs(batch)  # the sharded packed path is actually taken
+
+    for b in (batch, b2, batch):
+        l1 = t1.update(b)
+        l2 = t2.update(b)
+    assert abs(float(l1) - float(l2)) < 1e-4
+
+    # chunked dispatch over the mesh (stack placed P(None, 'data', None))
+    l1s = [float(t1.update(b)) for b in (batch, b2, batch, b2)]
+    l2s = [float(x) for x in t2.update_chunk([batch, b2, batch, b2])]
+    np.testing.assert_allclose(l1s, l2s, atol=1e-4)
+
+    p1, _, loss1 = t1.predict_batch(batch)
+    p2, _, loss2 = t2.predict_batch(batch)
+    assert p1 == p2 and abs(loss1 - loss2) < 1e-4
