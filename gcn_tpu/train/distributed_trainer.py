@@ -84,17 +84,15 @@ class DistributedTrainer(Trainer):
     def _divisible(self, batch: dict) -> bool:
         return batch["labels"].shape[0] % self.mesh.shape["data"] == 0
 
-    def _packs(self, batch: dict) -> bool:
-        from gcn_tpu.data.packing import packable
-
-        return self._pack and packable(batch) and self._divisible(batch)
+    def _can_pack(self, batch: dict) -> bool:
+        return super()._can_pack(batch) and self._divisible(batch)
 
     def _maybe_pack(self, batch: dict):
         # ONE sharded placement for the whole batch instead of 13 per-leaf
         # scatters; GSPMD propagates the data sharding through the unpack
         # slices (they only touch the column axis)
         packed = super()._maybe_pack(batch)
-        if packed is None or not self._divisible(batch):
+        if packed is None:
             return None
         return jax.device_put(
             packed, NamedSharding(self.mesh, P("data", None))
@@ -106,19 +104,19 @@ class DistributedTrainer(Trainer):
         )
 
     def update(self, batch: dict):
-        if not self._packs(batch) and self._divisible(batch):
+        if not self._can_pack(batch) and self._divisible(batch):
             batch = self._place_batch(batch)
         return super().update(batch)
 
     def predict_batch(self, batch: dict):
-        if not self._packs(batch) and self._divisible(batch):
+        if not self._can_pack(batch) and self._divisible(batch):
             batch = self._place_batch(batch)
         return super().predict_batch(batch)
 
     def evaluate(self, batches):
         def place(it):
             for batch in it:
-                if not self._packs(batch) and self._divisible(batch):
+                if not self._can_pack(batch) and self._divisible(batch):
                     yield self._place_batch(batch)
                 else:
                     yield batch

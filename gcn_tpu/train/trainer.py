@@ -259,11 +259,11 @@ class Trainer:
         Returns per-step device losses.  Requires ``update_gap == 1``;
         falls back to per-batch ``update`` otherwise or when packing
         does not apply."""
-        from gcn_tpu.data.packing import pack_batch, packable
+        from gcn_tpu.data.packing import pack_batch
 
         if (len(batches) < 2 or self.cfg.train.update_gap > 1
-                or self._accum is not None or not self._pack
-                or not all(packable(b) for b in batches)
+                or self._accum is not None
+                or not all(self._can_pack(b) for b in batches)
                 or len({b["words"].shape for b in batches}) != 1):
             return [self.update(b) for b in batches]
         stack = self._place_stack(
@@ -311,15 +311,22 @@ class Trainer:
         return probs, losses
 
     # -------------------------------------------------------------- updates
+    def _can_pack(self, batch: dict) -> bool:
+        """Single eligibility gate for the packed/chunked paths.  The mesh
+        trainer also requires the batch axis to divide the data axis."""
+        from gcn_tpu.data.packing import packable
+
+        return self._pack and packable(batch)
+
     def _maybe_pack(self, batch: dict):
         """(packed_or_none) — pack eligible host batches into one buffer.
         ``DistributedTrainer`` overrides this to place the packed buffer
         sharded over the data axis."""
-        if not self._pack:
+        if not self._can_pack(batch):
             return None
-        from gcn_tpu.data.packing import pack_batch, packable
+        from gcn_tpu.data.packing import pack_batch
 
-        return pack_batch(batch) if packable(batch) else None
+        return pack_batch(batch)
 
     def _place_stack(self, stack):
         """Placement hook for [k, B, C] packed stacks (chunk dispatch);
@@ -423,7 +430,7 @@ class Trainer:
         if spd > 1 and self._pack:
             # chunked: one transfer + one program per spd batches; each
             # pending item carries a whole chunk's results
-            from gcn_tpu.data.packing import pack_batch, packable
+            from gcn_tpu.data.packing import pack_batch
 
             buf: list[dict] = []
 
@@ -457,7 +464,7 @@ class Trainer:
                     drain_chunk(pending.pop(0))
 
             for batch in batches:
-                if not packable(batch):
+                if not self._can_pack(batch):
                     flush()
                     probs, loss = self._eval_forward(batch)
                     pending.append(

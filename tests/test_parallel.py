@@ -279,7 +279,7 @@ def test_distributed_packed_and_chunked_match_single_device():
 
     t1 = Trainer(cfg, rng_seed=0)
     t2 = DistributedTrainer(cfg, rng_seed=0)
-    assert t2._packs(batch)  # the sharded packed path is actually taken
+    assert t2._can_pack(batch)  # the sharded packed path is actually taken
 
     for b in (batch, b2, batch):
         l1 = t1.update(b)
