@@ -136,6 +136,13 @@ class MultiHostTrainer(DistributedTrainer):
     single-process (reference ``train.py:93-94``).
     """
 
+    def _can_pack(self, batch: dict) -> bool:
+        # multi-host batches are process-LOCAL slices: they must go through
+        # global_batch_from_local assembly, not a direct sharded placement
+        # of a full array (each process only holds its shard).  Packed
+        # multi-host transfers would need a packed global-assembly path.
+        return False
+
     def _place_tree(self, tree, shardings):
         # device_put cannot target non-addressable devices; build global
         # arrays from the (identical) host copies instead
