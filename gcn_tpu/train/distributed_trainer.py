@@ -137,11 +137,34 @@ class MultiHostTrainer(DistributedTrainer):
     """
 
     def _can_pack(self, batch: dict) -> bool:
-        # multi-host batches are process-LOCAL slices: they must go through
-        # global_batch_from_local assembly, not a direct sharded placement
-        # of a full array (each process only holds its shard).  Packed
-        # multi-host transfers would need a packed global-assembly path.
-        return False
+        # multi-host batches are process-LOCAL slices; the packed buffer is
+        # assembled into a global array below (_maybe_pack), so eligibility
+        # is the base gate plus global-batch divisibility over `data`
+        global_rows = batch["labels"].shape[0] * jax.process_count()
+        return (
+            Trainer._can_pack(self, batch)
+            and global_rows % self.mesh.shape["data"] == 0
+        )
+
+    def _maybe_pack(self, batch: dict):
+        # pack the LOCAL slice into one [B_local, C] buffer, then assemble
+        # the processes' buffers into ONE global [B, C] array sharded over
+        # `data` — the multi-host analog of the single-host sharded packed
+        # transfer (one buffer per process instead of 13 leaves)
+        if not self._can_pack(batch):
+            return None
+        from gcn_tpu.data.packing import pack_batch
+
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P("data", None)), pack_batch(batch)
+        )
+
+    def _place_stack(self, stack):
+        # [k, B_local, C] local stacks assemble into a global [k, B, C]
+        # sharded over the batch axis (chunked dispatch, multi-host)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P(None, "data", None)), stack
+        )
 
     def _place_tree(self, tree, shardings):
         # device_put cannot target non-addressable devices; build global
@@ -160,6 +183,9 @@ class MultiHostTrainer(DistributedTrainer):
         return global_batch_from_local(self.mesh, batch)
 
     def update(self, batch: dict):
+        if self._can_pack(batch):
+            # Trainer.update routes through _maybe_pack (global assembly)
+            return Trainer.update(self, batch)
         return Trainer.update(self, self._place_batch(batch))
 
     def _host_replicated(self, tree):
@@ -172,8 +198,13 @@ class MultiHostTrainer(DistributedTrainer):
     def predict_batch(self, batch: dict):
         from jax.experimental import multihost_utils
 
-        placed = self._place_batch(batch)
-        probs, loss = self._forward_eval(self.params, placed)
+        packed = self._maybe_pack(batch)
+        if packed is not None:
+            probs, loss = self._forward_eval_packed(self.params, packed)
+        else:
+            probs, loss = self._forward_eval(
+                self.params, self._place_batch(batch)
+            )
         probs = multihost_utils.process_allgather(probs, tiled=True)
         mask = np.concatenate(
             multihost_utils.process_allgather(

@@ -52,34 +52,58 @@ def test_two_process_distributed():
     assert len(checksums) == 1  # both processes agree on the global sum
 
 
-@pytest.mark.slow
-def test_two_process_training_matches_single(tmp_path):
-    """Actually TRAIN across 2 processes via the real CLI (the driver's
-    multi-host path: MultiHostTrainer + ShardedBatcher + global batch
-    assembly) and match the single-process loss trajectory."""
-    base = [
-        sys.executable, "train.py", "--cpu", "--no-rnn",
-        "--hidden_dim", "16", "--emb_dim", "300", "--batch_size", "10",
-        "--effective_batch_size", "10", "--num_epoch", "2",
-        "--seed", "7",
-    ]
+_BASE_CLI = [
+    "train.py", "--cpu", "--no-rnn",
+    "--hidden_dim", "16", "--emb_dim", "300", "--batch_size", "10",
+    "--effective_batch_size", "10", "--num_epoch", "2",
+    "--seed", "7",
+]
 
-    def logs(run_dir):
-        with open(os.path.join(run_dir, "logs.txt")) as f:
-            return [
-                ln.split("\t") for ln in f.read().splitlines()
-                if ln and not ln.startswith(("#", "new best"))
-            ]
 
-    # single-process baseline
-    env1 = dict(os.environ, JAX_PLATFORMS="")
-    env1.pop("XLA_FLAGS", None)
-    env1.pop("PALLAS_AXON_POOL_IPS", None)
+def _cli_env() -> dict:
+    env = dict(os.environ, JAX_PLATFORMS="")
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+def _logs(run_dir):
+    with open(os.path.join(run_dir, "logs.txt")) as f:
+        return [
+            ln.split("\t") for ln in f.read().splitlines()
+            if ln and not ln.startswith(("#", "new best"))
+        ]
+
+
+@pytest.fixture(scope="module")
+def single_process_logs(tmp_path_factory):
+    """Single-process baseline trajectory, trained once for the module."""
+    root = tmp_path_factory.mktemp("sp")
     out = subprocess.run(
-        base + ["--id", "sp", "--model_save_dir", str(tmp_path / "sp")],
-        capture_output=True, text=True, timeout=420, env=env1,
+        [sys.executable] + _BASE_CLI
+        + ["--id", "sp", "--model_save_dir", str(root)],
+        capture_output=True, text=True, timeout=420, env=_cli_env(),
     )
     assert out.returncode == 0, out.stderr[-2000:]
+    return _logs(os.path.join(root, "sp"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mp_flags", [
+    pytest.param([], id="packed"),  # pack_transfers defaults on: the
+    # multi-host packed global-assembly path (one buffer per process)
+    pytest.param(["--pack_transfers", "false"], id="plain"),
+    pytest.param(["--steps_per_dispatch", "2"], id="chunked"),
+])
+def test_two_process_training_matches_single(
+    tmp_path, mp_flags, single_process_logs
+):
+    """Actually TRAIN across 2 processes via the real CLI (the driver's
+    multi-host path: MultiHostTrainer + ShardedBatcher + global batch
+    assembly) and match the single-process loss trajectory — through the
+    plain, packed-transfer and chunked-dispatch feeding paths."""
+    base = [sys.executable] + _BASE_CLI
+    env1 = _cli_env()
 
     # 2-process run
     port = free_port()
@@ -92,7 +116,8 @@ def test_two_process_training_matches_single(tmp_path):
             GCN_TPU_PROC_ID=str(pid),
         )
         procs.append(subprocess.Popen(
-            base + ["--id", "mp", "--model_save_dir", str(tmp_path / "mp")],
+            base + mp_flags
+            + ["--id", "mp", "--model_save_dir", str(tmp_path / "mp")],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         ))
@@ -102,8 +127,8 @@ def test_two_process_training_matches_single(tmp_path):
         assert "Multi-host training" in out2
         assert "Training ended" in out2
 
-    sp = logs(os.path.join(tmp_path, "sp", "sp"))
-    mp = logs(os.path.join(tmp_path, "mp", "mp"))
+    sp = single_process_logs
+    mp = _logs(os.path.join(tmp_path, "mp", "mp"))
     assert len(sp) == len(mp) == 2
     for row_s, row_m in zip(sp, mp):
         # same epochs; train loss and dev F1 agree closely (identical
