@@ -149,6 +149,12 @@ class TrainConfig:
     # >1: scan k same-bucket packed batches per dispatch (one transfer +
     # one program per k optimizer steps; bit-identical to per-step runs)
     steps_per_dispatch: int = 1
+    # row-sparse word-embedding updates (train.sparse_emb): only the
+    # vocab rows the batch touches pay optimizer traffic — O(B·N·E)
+    # instead of O(V·E) per step; numerically equivalent.  "auto" = on
+    # for sgd/adagrad with integer word inputs and update_gap == 1 on a
+    # single device; "true"/"false" force.
+    sparse_emb_grad: str = "auto"
     word_dropout: float = 0.04
     conv_l2: float = 0.0
     pooling_l2: float = 0.0

@@ -221,10 +221,20 @@ class GCNClassifier(nn.Module):
         if use_bert:
             word_vecs = words.astype(dtype)
         else:
-            emb = self.param(
-                "word_emb", _word_emb_init, (cfg.vocab_size, cfg.emb_dim)
-            )
-            word_vecs = jnp.take(emb, words, axis=0)
+            if "word_vecs" in batch:
+                # row-sparse embedding-gradient path (trainer feature): the
+                # caller gathered the rows OUTSIDE the differentiated
+                # closure and differentiates w.r.t. these rows instead of
+                # the [V,E] table — the table param is deliberately never
+                # touched here so its dense cotangent is a dead zero
+                # (TPU analog of the reference's sparse-grad MyAdagrad,
+                # utils/torch_utils.py:60-80)
+                word_vecs = batch["word_vecs"]
+            else:
+                emb = self.param(
+                    "word_emb", _word_emb_init, (cfg.vocab_size, cfg.emb_dim)
+                )
+                word_vecs = jnp.take(emb, words, axis=0)
             if not deterministic and cfg.emb_dropout > 0:
                 mult = embedding_dropout_mask(
                     rng(), words, cfg.vocab_size, cfg.emb_dropout, False

@@ -156,6 +156,15 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                         "transfer + one program per k optimizer steps; "
                         "bit-identical losses/params). Requires "
                         "effective_batch_size == batch_size.")
+    p.add_argument("--sparse_emb_grad", type=str, default="auto",
+                   choices=["auto", "true", "false"],
+                   help="Row-sparse word-embedding updates: only the vocab "
+                        "rows the batch touches pay optimizer traffic "
+                        "(numerically equivalent; the reference's sparse "
+                        "MyAdagrad path, TPU-native). auto = on for "
+                        "sgd/adagrad fused steps at vocab >= 300k, the "
+                        "measured v5e crossover where the row scatter "
+                        "beats the dense table update.")
     p.add_argument("--prng_impl", type=str, default="auto",
                    choices=["auto", "threefry", "rbg"],
                    help="PRNG backend for dropout/edge-drop masks: auto = "
@@ -219,6 +228,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     t.prng_impl = args.prng_impl
     t.pack_transfers = args.pack_transfers
     t.steps_per_dispatch = args.steps_per_dispatch
+    t.sparse_emb_grad = args.sparse_emb_grad
     t.lr = args.lr
     t.lr_decay = args.lr_decay
     t.decay_epoch = args.decay_epoch

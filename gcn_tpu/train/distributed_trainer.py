@@ -51,6 +51,12 @@ class DistributedTrainer(Trainer):
         # jitted steps group the factored full_deprel tokens per data
         # shard (shard_map; no cross-device sort) — see utils.shard_ctx
         self._grouping_mesh = mesh
+        # auto row-sparse embedding updates stay off on a mesh: the row
+        # scatter onto a vocab-sharded table is correct (tested) but its
+        # cross-shard traffic is not profiled; --sparse_emb_grad true
+        # forces it on
+        if str(cfg.train.sparse_emb_grad).lower() == "auto":
+            self._set_sparse_emb(False)
         self._place_state()
 
     def _place_tree(self, tree, shardings):

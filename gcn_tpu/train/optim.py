@@ -116,15 +116,24 @@ def build_optimizer(
     max_grad_norm: float = 5.0,
     topn: int = int(1e10),
     lr_decay: float = 0.0,
+    external_clip: bool = False,
 ) -> optax.GradientTransformation:
     """Freeze-mask → global-norm clip → optimizer, with ``learning_rate``
-    exposed as a mutable hyperparameter (see ``set_learning_rate``)."""
+    exposed as a mutable hyperparameter (see ``set_learning_rate``).
+
+    ``external_clip=True`` swaps the clip stage for ``optax.identity()``
+    (same ``EmptyState``, so the optimizer-state pytree — and therefore
+    checkpoints — are structurally identical): the caller applies the
+    global-norm clip itself.  Used by the row-sparse embedding-gradient
+    path, whose clip norm must include the row gradients that never enter
+    this chain."""
 
     @optax.inject_hyperparams
     def make(learning_rate):
         return optax.chain(
             partial_embedding_freeze(topn),
-            optax.clip_by_global_norm(max_grad_norm),
+            optax.identity() if external_clip
+            else optax.clip_by_global_norm(max_grad_norm),
             _core(name, learning_rate, lr_decay),
         )
 

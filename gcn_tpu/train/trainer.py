@@ -53,6 +53,12 @@ def _dummy_batch(cfg: Config, use_bert: bool = False) -> dict:
     return batch
 
 
+# Measured v5e crossover for the row-sparse embedding update (see
+# Trainer.__init__ / docs/design.md §7): dense wins at 150k rows, sparse
+# wins at 500k; auto flips between them.
+SPARSE_EMB_AUTO_VOCAB = 300_000
+
+
 @jax.jit
 def device_sum(scalars: list) -> jax.Array:
     """Sum a list of device scalars in one program + one fetch.  Module-
@@ -114,11 +120,47 @@ class Trainer:
             self.params["params"]["word_emb"] = jnp.asarray(
                 emb_matrix, jnp.float32
             )
+        # row-sparse embedding updates (train.sparse_emb): the fused/chunk
+        # steps update only the vocab rows the batch touches.  "auto" = on
+        # for the supported row-local optimizers on the single-device
+        # fused path when the table is large enough to win: XLA's TPU
+        # scatter costs ~70 ns/row regardless of update size, so the
+        # measured v5e crossover vs the dense update is between 150k rows
+        # (dense 5.8 vs sparse 7.5 ms/step) and 500k rows (dense 12.5 vs
+        # sparse 9.0) — auto switches at 300k.  DistributedTrainer turns
+        # auto off (the scatter onto a vocab-sharded table is not
+        # profiled) — "true"/"false" force either path.
+        from gcn_tpu.train import sparse_emb as _sparse
+
+        mode = str(cfg.train.sparse_emb_grad).lower()
+        eligible = (
+            _sparse.supported(cfg.train.optim)
+            and not cfg.model.use_bert_embeddings
+            and cfg.train.update_gap <= 1
+        )
+        if mode == "true":
+            if not eligible:
+                raise ValueError(
+                    "--sparse_emb_grad true requires a row-local optimizer "
+                    "(sgd/adagrad), integer word inputs (not BERT) and "
+                    "update_gap == 1; got "
+                    f"optim={cfg.train.optim}, "
+                    f"bert={cfg.model.use_bert_embeddings}, "
+                    f"update_gap={cfg.train.update_gap}"
+                )
+            self._sparse_emb = True
+        elif mode == "auto":
+            self._sparse_emb = (
+                eligible and cfg.model.vocab_size >= SPARSE_EMB_AUTO_VOCAB
+            )
+        else:
+            self._sparse_emb = False
         self.tx = build_optimizer(
             cfg.train.optim,
             cfg.train.lr,
             max_grad_norm=cfg.train.max_grad_norm,
             topn=cfg.model.topn,
+            external_clip=self._sparse_emb,
         )
         self.opt_state = self.tx.init(self.params)
         self.current_lr = cfg.train.lr
@@ -132,6 +174,20 @@ class Trainer:
         # 13 per-leaf placements).
         self._pack = (cfg.train.pack_transfers
                       and not cfg.model.use_bert_embeddings)
+
+    def _set_sparse_emb(self, flag: bool) -> None:
+        """Flip the row-sparse embedding mode BEFORE any step has traced
+        (rebuilds the optimizer chain; the state pytree is identical)."""
+        if flag == self._sparse_emb:
+            return
+        self._sparse_emb = flag
+        self.tx = build_optimizer(
+            self.cfg.train.optim,
+            self.cfg.train.lr,
+            max_grad_norm=self.cfg.train.max_grad_norm,
+            topn=self.cfg.model.topn,
+            external_clip=flag,
+        )
 
     # ------------------------------------------------------------ jit steps
     def _loss(self, params, batch, key, step):
@@ -206,13 +262,31 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _fused_step(self, params, opt_state, batch, key, step):
-        """grad + clip + optimizer update as ONE program — used when
-        ``update_gap == 1`` (the flagship TACRED config): one dispatch per
-        step instead of two, and the gradient tree never round-trips HBM
-        between programs.  Accumulating configs keep the two-program path
-        (the accumulation buffer lives between dispatches by design)."""
+    def _step_core(self, params, opt_state, batch, key, step):
+        """One optimizer step (grad + clip + update), traced inside the
+        fused/chunked programs below.  With ``_sparse_emb`` active the
+        word-embedding rows are gathered OUTSIDE the differentiated
+        closure and only the touched rows are updated
+        (``train.sparse_emb`` — O(B·N·E) instead of O(V·E) table
+        traffic, numerically equivalent)."""
+        if self._sparse_emb:
+            from gcn_tpu.train import sparse_emb
+
+            emb = params["params"]["word_emb"]
+            rows = jnp.take(emb, batch["words"], axis=0)
+            loss, (g_full, g_rows) = jax.value_and_grad(
+                lambda p, r: self._loss(
+                    p, dict(batch, word_vecs=r), key, step
+                ),
+                argnums=(0, 1),
+            )(params, rows)
+            params, opt_state = sparse_emb.sparse_step(
+                self.tx, params, opt_state, g_full, batch["words"], g_rows,
+                optim=self.cfg.train.optim,
+                topn=self.cfg.model.topn,
+                max_grad_norm=self.cfg.train.max_grad_norm,
+            )
+            return params, opt_state, loss
         loss, grads = jax.value_and_grad(
             lambda p: self._loss(p, batch, key, step)
         )(params)
@@ -220,13 +294,19 @@ class Trainer:
         return optax.apply_updates(params, updates), opt_state, loss
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _fused_step(self, params, opt_state, batch, key, step):
+        """grad + clip + optimizer update as ONE program — used when
+        ``update_gap == 1`` (the flagship TACRED config): one dispatch per
+        step instead of two, and the gradient tree never round-trips HBM
+        between programs.  Accumulating configs keep the two-program path
+        (the accumulation buffer lives between dispatches by design)."""
+        return self._step_core(params, opt_state, batch, key, step)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _fused_step_packed(self, params, opt_state, packed, key, step):
-        batch = self._unpack(packed)
-        loss, grads = jax.value_and_grad(
-            lambda p: self._loss(p, batch, key, step)
-        )(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return self._step_core(
+            params, opt_state, self._unpack(packed), key, step
+        )
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _chunk_step(self, params, opt_state, stack, key, step0):
@@ -240,12 +320,10 @@ class Trainer:
         def body(carry, xs):
             params, opt_state = carry
             packed, step = xs
-            batch = self._unpack(packed)
-            loss, grads = jax.value_and_grad(
-                lambda p: self._loss(p, batch, key, step)
-            )(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+            params, opt_state, loss = self._step_core(
+                params, opt_state, self._unpack(packed), key, step
+            )
+            return (params, opt_state), loss
 
         steps = step0 + jnp.arange(stack.shape[0], dtype=jnp.int32)
         (params, opt_state), losses = jax.lax.scan(
