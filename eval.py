@@ -72,8 +72,10 @@ def main():
         json.dump(wrong, f)
     print(f"{len(wrong)} misclassified examples dumped to {wrong_path}")
 
-    p_, r_, f1 = scorer.score(batcher.gold(), labels, verbose=True,
-                              negative_label=C.NEGATIVE_LABEL)
+    p_, r_, f1 = scorer.score(
+        batcher.gold(), labels, verbose=True,
+        negative_label=(cfg.train.scorer_negative_label
+                        or C.NEGATIVE_LABEL))
     print(f"{args.dataset} set evaluate result: {p_:.2f}\t{r_:.2f}\t{f1:.2f}")
 
     if args.out:

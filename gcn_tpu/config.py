@@ -159,6 +159,14 @@ class TrainConfig:
     conv_l2: float = 0.0
     pooling_l2: float = 0.0
     lower: bool = False
+    # Label the scorer treats as "no relation" (excluded from micro-F1).
+    # "" = the dataset's own negative (TACRED "no_relation" / SemEval
+    # "Other").  The reference scores BOTH datasets with the TACRED
+    # scorer's literal "no_relation" (utils/scorer.py:11), so its SemEval
+    # F1 counts "Other" as a positive class; pass
+    # --scorer_negative_label no_relation to reproduce that exactly
+    # (tools/train_compare.py --dataset semeval does).
+    scorer_negative_label: str = ""
 
     @property
     def update_gap(self) -> int:

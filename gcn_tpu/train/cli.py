@@ -55,6 +55,12 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--conv_l2", type=float, default=0)
     p.add_argument("--pooling", choices=["max", "avg", "sum"], default="max")
     p.add_argument("--pooling_l2", type=float, default=0)
+    p.add_argument("--scorer_negative_label", type=str, default="",
+                   help="label excluded from micro-F1 ('' = the dataset's "
+                        "own negative). The reference scores SemEval with "
+                        "the TACRED scorer's literal 'no_relation', so its "
+                        "SemEval F1 counts 'Other' as a positive class; "
+                        "pass 'no_relation' to reproduce that metric.")
     p.add_argument("--mlp_layers", type=int, default=2)
     p.add_argument("--no_adj", dest="no_adj", action="store_true")
     p.set_defaults(no_adj=False)
@@ -247,6 +253,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     t.conv_l2 = args.conv_l2
     t.pooling_l2 = args.pooling_l2
     t.lower = args.lower
+    t.scorer_negative_label = args.scorer_negative_label
 
     d.group_by_length = args.group_by_length
     d.data_dir = args.data_dir

@@ -222,7 +222,7 @@ def run_training(
         print(f"Loaded pretrained model from {load_from} "
               f"(epoch {meta.get('epoch')})")
     id2label = {v: k for k, v in C.LABEL_TO_ID.items()}
-    neg = C.NEGATIVE_LABEL
+    neg = cfg.train.scorer_negative_label or C.NEGATIVE_LABEL
 
     selection_history: list[float] = []
     best_metrics = {"f1": -np.inf, "precision": -np.inf, "recall": -np.inf}

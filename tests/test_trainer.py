@@ -91,7 +91,11 @@ def test_checkpoint_roundtrip(small_cfg, data, tmp_path):
     assert abs(loss1 - loss2) < 1e-6
 
 
-def test_update_lr_persisted(small_cfg, tmp_path):
+def test_update_lr_persisted(small_cfg, data, tmp_path):
+    # `data` is requested for its side effect: it sets
+    # small_cfg.model.vocab_size (module-scoped fixtures run in worker
+    # test order under xdist, so relying on another test to have run it
+    # first is a race).
     trainer = Trainer(small_cfg)
     trainer.update_lr(0.01)
     d = str(tmp_path / "ckpt2")

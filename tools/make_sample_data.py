@@ -50,7 +50,12 @@ def make_example(rng, i, dataset="tacred"):
     n = rng.randint(8, 40)
     tokens = [WORDS[rng.randint(len(WORDS))] for _ in range(n)]
     head = random_tree(rng, n)
-    pos_tags = [t for t in list(C.POS_TO_ID)[2:]]
+    # never emit the semeval-only 'pad' POS tag: the reference model sizes
+    # pos_emb from the 47-tag TACRED table (model/gcn.py:46) while its
+    # semeval loader encodes with the 48-tag semeval table, so 'pad'
+    # (id 47) crashes the reference — and it is not a real PTB tag, so
+    # actual parses never contain it
+    pos_tags = [t for t in list(C.POS_TO_ID)[2:] if t != "pad"]
     dep_tags = [t for t in list(constants.DEPREL_TO_ID)[2:42]]
     ner_tags = [t for t in list(constants.NER_TO_ID)[2:]]
     pos = [pos_tags[rng.randint(len(pos_tags))] for _ in range(n)]

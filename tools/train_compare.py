@@ -27,9 +27,20 @@ Two data modes:
 On the real TACRED corpus the same tool runs unmodified with genuine
 splits.
 
+``--dataset semeval`` runs the SemEval-2010 Task 8 pipeline instead
+(reference ``train_semeval.py`` vs ours): no dev split — the reference
+selects its best model on TRAIN F1 and reports test-at-best-train
+(reference ``train_semeval.py:256-262``), and the learnable task drops
+the entity-type feature (SemEval has no NER), so the relation is a pure
+function of the trigger token.  Only ``--data_mode learnable`` is
+supported for semeval (the checked-in random-label semeval sample adds
+nothing over the tacred memorize mode).
+
     python tools/train_compare.py [--num_epoch 30] [--batch_size 10]
     python tools/train_compare.py --data_mode learnable --num_epoch 40 \
         --batch_size 25 --seeds 7,13,21
+    python tools/train_compare.py --dataset semeval --data_mode learnable \
+        --num_epoch 40 --batch_size 25 --seeds 7,13,21
 
 Prints one JSON line per framework and a final comparison record.
 """
@@ -80,8 +91,9 @@ def common_flags(args, workdir):
         # exact zeros, mlp0's ReLU dies and upstream grads are 0 forever
         # (diagnosed: logits row-variance 0, all mlp0 activations <= 0,
         # zero grads for every layer below the classifier)
+        vocab = "vocab_semeval" if args.dataset == "semeval" else "vocab"
         flags = [
-            "--vocab_dir", os.path.join(workdir, "vocab"),
+            "--vocab_dir", os.path.join(workdir, vocab),
             "--num_epoch", str(args.num_epoch),
             "--batch_size", str(args.batch_size),
             "--optim", "adagrad", "--lr", "0.2",
@@ -130,9 +142,10 @@ def stage_data(workdir, args=None):
             capture_output=True, text=True, timeout=600,
         )
         assert out.returncode == 0, out.stderr[-2000:]
-        os.rename(os.path.join(workdir, "tacred"), data)
-        shutil.copy(os.path.join(data, "train.json"),
-                    os.path.join(data, "train_0.1.json"))
+        os.rename(os.path.join(workdir, args.dataset), data)
+        if args.dataset == "tacred":
+            shutil.copy(os.path.join(data, "train.json"),
+                        os.path.join(data, "train_0.1.json"))
         return data
     os.makedirs(data)
     train = os.path.join(REPO, "dataset", "tacred", "train.json")
@@ -142,11 +155,15 @@ def stage_data(workdir, args=None):
     return data
 
 
+def _driver(args):
+    return "train_semeval.py" if args.dataset == "semeval" else "train.py"
+
+
 def run_reference(args, workdir):
     data = stage_data(workdir, args)
     save = os.path.join(workdir, "ref_models")
     cmd = [
-        sys.executable, os.path.join(REF, "train.py"),
+        sys.executable, os.path.join(REF, _driver(args)),
         "--data_dir", data,
         "--model_save_dir", save,
         "--test_save_dir", os.path.join(workdir, "ref_test"),
@@ -163,20 +180,32 @@ def run_reference(args, workdir):
         print(out.stderr[-3000:], file=sys.stderr)
         raise RuntimeError("reference training failed")
     rows = read_log(os.path.join(save, "cmp", "logs.txt"))
-    m = re.findall(r"F1\s*\(micro\):\s*([\d.]+)", out.stdout)
-    test_f1 = float(m[-1]) / 100.0 if m else None
+    if args.dataset == "semeval":
+        # reference train_semeval.py:280-282 prints the selection result as
+        # "Test Metrics at Best Train | F1: 0.xx | ..." (0-1 scale)
+        m = re.findall(r"Test Metrics at Best Train \| F1:\s*([\d.]+)",
+                       out.stdout)
+        test_f1 = float(m[-1]) if m else None
+    else:
+        m = re.findall(r"F1\s*\(micro\):\s*([\d.]+)", out.stdout)
+        test_f1 = float(m[-1]) / 100.0 if m else None
     return rows, test_f1, out.stdout
 
 
 def run_ours(args, workdir):
     save = os.path.join(workdir, "tpu_models")
     cmd = [
-        sys.executable, os.path.join(REPO, "train.py"),
+        sys.executable, os.path.join(REPO, _driver(args)),
         "--data_dir", stage_data(workdir, args),
         "--model_save_dir", save,
         "--id", "cmp",
         *common_flags(args, workdir),
     ]
+    if args.dataset == "semeval":
+        # score with the reference's metric: its SemEval driver uses the
+        # TACRED scorer's literal "no_relation" (never present), so its F1
+        # counts "Other" as a positive class
+        cmd += ["--scorer_negative_label", "no_relation"]
     out = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=3600,
     )
@@ -210,6 +239,12 @@ def main():
                         "(dev aliases train; measures optimization); "
                         "learnable = generated trigger task with real "
                         "held-out splits (measures generalization)")
+    p.add_argument("--dataset", choices=["tacred", "semeval"],
+                   default="tacred",
+                   help="semeval runs the SemEval-2010 Task 8 pipeline "
+                        "(train_semeval.py in both frameworks: no dev "
+                        "split, best model on TRAIN F1, "
+                        "test-at-best-train); learnable mode only")
     p.add_argument("--n_train", type=int, default=1200,
                    help="learnable mode: training examples (dev/test get "
                         "half each); 1200 x 40 epochs converges to ~0.93 "
@@ -218,6 +253,8 @@ def main():
                         "trigger token, so this regime is high-variance "
                         "until late convergence)")
     args = p.parse_args()
+    if args.dataset == "semeval" and args.data_mode != "learnable":
+        p.error("--dataset semeval requires --data_mode learnable")
 
     deltas = []
     for seed in [int(s) for s in args.seeds.split(",")]:
