@@ -149,6 +149,11 @@ class TrainConfig:
     # >1: scan k same-bucket packed batches per dispatch (one transfer +
     # one program per k optimizer steps; bit-identical to per-step runs)
     steps_per_dispatch: int = 1
+    # pre-compile the run's full program set in parallel threads before
+    # epoch 1 (Trainer.warmup).  "auto" = on when steps_per_dispatch > 1
+    # (where cold compiles cost ~1 min/program through the remote compile
+    # service); single-process runtimes only.
+    warmup_compile: str = "auto"
     # row-sparse word-embedding updates (train.sparse_emb): only the
     # vocab rows the batch touches pay optimizer traffic — O(B·N·E)
     # instead of O(V·E) per step; numerically equivalent.  "auto" = on

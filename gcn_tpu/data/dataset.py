@@ -253,6 +253,34 @@ class Batcher:
         """Gold labels in iteration order (reference ``data/loader.py:74-76``)."""
         return self.gold_labels
 
+    def warmup_batches(self) -> list[dict]:
+        """One representative batch per distinct compiled batch shape.
+
+        Used by ``Trainer.warmup`` to pre-compile the run's programs.
+        Shape signatures are computed from the chunks without
+        materializing, and the few representatives are materialized with a
+        THROWAWAY RNG — the training word-dropout stream (``self.rng``)
+        is untouched, so a warmed run stays bit-identical to an un-warmed
+        one; the eval cache is likewise not populated here.
+        """
+        reps: list[dict] = []
+        seen: set = set()
+        saved_rng = self.rng
+        try:
+            self.rng = np.random.RandomState(0)
+            for chunk in self.chunks:
+                n = self._bucket_len(
+                    max(self.ds.examples[i].length for i in chunk)
+                )
+                pad_b = self.batch_size if self.pad_batches else len(chunk)
+                if (pad_b, n) in seen:
+                    continue
+                seen.add((pad_b, n))
+                reps.append(self.materialize(chunk))
+        finally:
+            self.rng = saved_rng
+        return reps
+
     def __len__(self) -> int:
         return len(self.chunks)
 

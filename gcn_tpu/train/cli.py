@@ -162,6 +162,12 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                         "transfer + one program per k optimizer steps; "
                         "bit-identical losses/params). Requires "
                         "effective_batch_size == batch_size.")
+    p.add_argument("--warmup_compile", type=str, default="auto",
+                   choices=["auto", "true", "false"],
+                   help="Pre-compile the run's program set in parallel "
+                        "threads before epoch 1. auto = on when "
+                        "steps_per_dispatch > 1 (cold scan compiles cost "
+                        "~1 min each through the remote compile service).")
     p.add_argument("--sparse_emb_grad", type=str, default="auto",
                    choices=["auto", "true", "false"],
                    help="Row-sparse word-embedding updates: only the vocab "
@@ -234,6 +240,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     t.prng_impl = args.prng_impl
     t.pack_transfers = args.pack_transfers
     t.steps_per_dispatch = args.steps_per_dispatch
+    t.warmup_compile = args.warmup_compile
     t.sparse_emb_grad = args.sparse_emb_grad
     t.lr = args.lr
     t.lr_decay = args.lr_decay

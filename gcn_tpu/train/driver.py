@@ -251,6 +251,21 @@ def run_training(
     use_chunks = (spd > 1 and cfg.train.update_gap <= 1
                   and getattr(trainer, "_pack", False))
 
+    wm = str(cfg.train.warmup_compile).lower()
+    if ((wm in ("true", "1", "yes") or (wm == "auto" and spd > 1))
+            and jax.process_count() == 1):
+        # pre-compile the whole program set with overlapped compile RPCs;
+        # threaded warmup is single-process only (pool completion order
+        # would diverge across processes and deadlock SPMD dispatch)
+        reps = train_batcher.warmup_batches()
+        for b in (dev_batcher, test_batcher, train_eval_batcher):
+            if b is not None:
+                reps += b.warmup_batches()
+        t0 = time.time()
+        stats = trainer.warmup(reps)
+        print(f"warmup: compiled {stats['programs']} programs in "
+              f"{time.time() - t0:.1f}s ({len(reps)} batch shapes)")
+
     for epoch in range(start_epoch, cfg.train.num_epoch + 1):
         epoch_losses = []  # device scalars: converted once per epoch so the
         meter.start()      # step loop never blocks on a device round-trip

@@ -59,6 +59,40 @@ def _dummy_batch(cfg: Config, use_bert: bool = False) -> dict:
 SPARSE_EMB_AUTO_VOCAB = 300_000
 
 
+def allowed_chunk_sizes(cap: int) -> list[int]:
+    """The dispatch sizes the chunked paths are allowed to compile:
+    ``cap`` itself plus every power of two below it (descending).
+
+    Each distinct ``lax.scan`` length is a separate XLA program (~1 min
+    through the remote compile service at flagship shapes), and bucket-run
+    remainders / save_steps cuts otherwise produce arbitrary lengths
+    1..cap over a long run — an unbounded compile set.  Restricting to
+    this set bounds it at log2(cap)+2 programs per batch shape and makes
+    the whole set precompilable by ``Trainer.warmup``."""
+    cap = max(1, int(cap))
+    sizes = {cap} | {1 << j for j in range(cap.bit_length()) if (1 << j) <= cap}
+    return sorted(sizes, reverse=True)
+
+
+def chunk_plan(k: int, cap: int) -> list[int]:
+    """Greedy decomposition of a k-batch run into allowed dispatch sizes
+    (e.g. k=7, cap=8 -> [4, 2, 1]).  Step order is unchanged, so the
+    decomposed dispatches are bit-identical to one k-length scan."""
+    plan = []
+    for s in allowed_chunk_sizes(cap):
+        while k >= s:
+            plan.append(s)
+            k -= s
+    return plan
+
+
+@jax.jit
+def _zeros_like_tree(t):
+    # fresh device buffers for warmup calls into donating programs, so
+    # the trainer's real params/opt_state are never donated away
+    return jax.tree.map(jnp.zeros_like, t)
+
+
 @jax.jit
 def device_sum(scalars: list) -> jax.Array:
     """Sum a list of device scalars in one program + one fetch.  Module-
@@ -344,15 +378,31 @@ class Trainer:
                 or not all(self._can_pack(b) for b in batches)
                 or len({b["words"].shape for b in batches}) != 1):
             return [self.update(b) for b in batches]
-        stack = self._place_stack(
-            np.stack([pack_batch(b) for b in batches])
-        )
-        step0 = np.int32(self.global_step)
-        self.global_step += len(batches)
-        self.params, self.opt_state, losses = self._chunk_step(
-            self.params, self.opt_state, stack, self._key, step0
-        )
-        return list(losses)
+        # dispatch in allowed_chunk_sizes pieces (7 -> 4+2+1): bounded,
+        # precompilable program set; bit-identical to one 7-length scan
+        # (the per-step fold_in streams depend only on global_step)
+        losses: list = []
+        i = 0
+        spd = int(self.cfg.train.steps_per_dispatch)
+        # driver calls carry spd as the cap; a direct caller with spd <= 1
+        # asked for exactly this chunk — honor it as one scan
+        cap = spd if spd > 1 else len(batches)
+        for size in chunk_plan(len(batches), cap):
+            sub = batches[i:i + size]
+            i += size
+            if size == 1:
+                losses.append(self.update(sub[0]))
+                continue
+            stack = self._place_stack(
+                np.stack([pack_batch(b) for b in sub])
+            )
+            step0 = np.int32(self.global_step)
+            self.global_step += size
+            self.params, self.opt_state, ls = self._chunk_step(
+                self.params, self.opt_state, stack, self._key, step0
+            )
+            losses.extend(list(ls))
+        return losses
 
     def _eval_core(self, params, batch):
         from gcn_tpu.utils.shard_ctx import local_grouping
@@ -523,13 +573,19 @@ class Trainer:
             def flush():
                 if not buf:
                     return
-                masks = [np.asarray(b["example_mask"]) for b in buf]
-                if len(buf) == 1:
-                    probs, loss = self._eval_forward(buf[0])
-                    pending.append((probs[None], [loss], masks))
-                else:
+                # allowed_chunk_sizes dispatches (see update_chunk): the
+                # eval scan programs stay a bounded, precompilable set
+                i = 0
+                for size in chunk_plan(len(buf), spd):
+                    sub = buf[i:i + size]
+                    i += size
+                    masks = [np.asarray(b["example_mask"]) for b in sub]
+                    if size == 1:
+                        probs, loss = self._eval_forward(sub[0])
+                        pending.append((probs[None], [loss], masks))
+                        continue
                     stack = self._place_stack(
-                        np.stack([pack_batch(b) for b in buf])
+                        np.stack([pack_batch(b) for b in sub])
                     )
                     # NB: do not name this `losses` — it would shadow the
                     # outer accumulator that drain() appends to
@@ -571,6 +627,101 @@ class Trainer:
         total_loss = float(device_sum(losses)) if losses else 0.0
         avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
+
+    # -------------------------------------------------------------- warmup
+    def warmup(self, batches: Iterable[dict], *, include_eval: bool = True,
+               max_workers: int = 4) -> dict:
+        """Pre-compile every program the train/eval loops will need, with
+        the compiles running in parallel threads.
+
+        Each distinct batch shape × dispatch size is a separate XLA
+        program; through the remote TPU compile service the flagship
+        ``steps_per_dispatch=8`` scan costs ~1 min to compile, so a cold
+        multi-bucket run pays minutes of serial compiles spread over its
+        first epoch.  Compile RPCs release the GIL, so issuing them from a
+        thread pool overlaps service-side compilation (measured on the
+        relay: 2 programs 3.3 s sequential -> 2.5 s threaded; the win
+        grows with program cost).  ``batches`` should hold one
+        representative batch per distinct shape (``Batcher.warmup_batches``)
+        — duplicates are deduped here.
+
+        Only the shapes matter: dummy zero params/opt_state are used for
+        the donating programs, and results are discarded, so trainer state
+        (params, opt_state, global_step, RNG stream) is untouched and a
+        warmed run stays bit-identical to an un-warmed one.
+
+        Call only from a single-process runtime: with ``jax.process_count()
+        > 1`` thread-pool completion order would differ across processes
+        and deadlock the SPMD executions.  Returns ``{"programs", "seconds"}``.
+        """
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from gcn_tpu.data.packing import pack_batch
+
+        reps: dict = {}
+        for b in batches:
+            sig = (b["words"].shape, b["words"].dtype.str)
+            reps.setdefault(sig, b)
+
+        key, step = self._key, np.int32(0)
+        cap = max(1, int(self.cfg.train.steps_per_dispatch))
+        fused = self.cfg.train.update_gap <= 1
+        chunked = cap > 1 and fused
+        scan_sizes = [s for s in allowed_chunk_sizes(cap) if s > 1]
+
+        tasks = []
+        for b in reps.values():
+            packed = self._maybe_pack(b)
+            if fused:
+                if packed is not None:
+                    tasks.append(lambda p=packed: self._fused_step_packed(
+                        _zeros_like_tree(self.params),
+                        _zeros_like_tree(self.opt_state), p, key, step))
+                else:
+                    tasks.append(lambda bb=b: self._fused_step(
+                        _zeros_like_tree(self.params),
+                        _zeros_like_tree(self.opt_state), bb, key, step))
+            elif packed is not None:
+                tasks.append(lambda p=packed: self._loss_and_grads_packed(
+                    self.params, p, key, step))
+            else:
+                tasks.append(lambda bb=b: self._loss_and_grads(
+                    self.params, bb, key, step))
+            if chunked and packed is not None:
+                for s in scan_sizes:
+                    stack = np.stack([np.asarray(packed)] * s)
+                    tasks.append(lambda st=stack: self._chunk_step(
+                        _zeros_like_tree(self.params),
+                        _zeros_like_tree(self.opt_state),
+                        self._place_stack(st), key, step))
+            if include_eval:
+                if packed is not None:
+                    tasks.append(lambda p=packed: self._forward_eval_packed(
+                        self.params, p))
+                    if chunked:
+                        for s in scan_sizes:
+                            stack = np.stack([np.asarray(packed)] * s)
+                            tasks.append(
+                                lambda st=stack: self._forward_eval_chunk(
+                                    self.params, self._place_stack(st)))
+                else:
+                    tasks.append(lambda bb=b: self._forward_eval(
+                        self.params, bb))
+        if not fused:
+            # the accumulation path's shape-independent programs
+            tasks.append(lambda: self._accum_add(
+                _zeros_like_tree(self.params), self.params))
+            tasks.append(lambda: self._apply_grads(
+                _zeros_like_tree(self.params),
+                _zeros_like_tree(self.opt_state),
+                _zeros_like_tree(self.params)))
+
+        t0 = _time.time()
+        with ThreadPoolExecutor(max_workers=max(1, max_workers)) as ex:
+            for fut in [ex.submit(t) for t in tasks]:
+                jax.block_until_ready(fut.result())
+        return {"programs": len(tasks), "seconds": _time.time() - t0}
 
     # ------------------------------------------------------------------- lr
     def update_lr(self, new_lr: float) -> None:

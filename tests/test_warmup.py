@@ -1,0 +1,195 @@
+"""Bounded chunk-program set (allowed_chunk_sizes / chunk_plan) and the
+parallel compile warmup (Trainer.warmup / Batcher.warmup_batches).
+
+Invariants:
+* chunk decomposition is bit-identical to the monolithic scan (the
+  per-step dropout streams depend only on global_step);
+* dispatch sizes always come from the bounded allowed set, so every
+  program a run can hit is precompilable up front;
+* warmup never perturbs trainer state or the batcher's word-dropout RNG
+  stream — a warmed run is bit-identical to an un-warmed one.
+"""
+
+import copy
+
+import jax
+import numpy as np
+
+from gcn_tpu.config import cgcn_preset
+from gcn_tpu.train.trainer import (
+    Trainer,
+    _dummy_batch,
+    allowed_chunk_sizes,
+    chunk_plan,
+)
+
+
+def tiny_cfg():
+    cfg = cgcn_preset()
+    cfg.model.vocab_size = 64
+    cfg.model.emb_dim = 16
+    cfg.model.pos_dim = 4
+    cfg.model.ner_dim = 4
+    cfg.model.rnn_hidden = 8
+    cfg.model.hidden_dim = 8
+    cfg.model.deprel_emb_dim = 4
+    return cfg
+
+
+def test_allowed_chunk_sizes_and_plan():
+    assert allowed_chunk_sizes(8) == [8, 4, 2, 1]
+    assert allowed_chunk_sizes(6) == [6, 4, 2, 1]
+    assert allowed_chunk_sizes(1) == [1]
+    assert chunk_plan(8, 8) == [8]
+    assert chunk_plan(7, 8) == [4, 2, 1]
+    assert chunk_plan(5, 6) == [4, 1]
+    assert chunk_plan(6, 6) == [6]
+    assert chunk_plan(13, 8) == [8, 4, 1]
+    assert chunk_plan(1, 8) == [1]
+    assert chunk_plan(0, 8) == []
+    for k in range(0, 40):
+        for cap in (1, 2, 3, 6, 8):
+            plan = chunk_plan(k, cap)
+            assert sum(plan) == k
+            assert all(s in allowed_chunk_sizes(cap) for s in plan)
+
+
+def test_update_chunk_remainder_decomposes_and_matches():
+    """A 7-batch run at spd=8 must dispatch as [4, 2, 1] and stay
+    bit-identical to seven per-batch updates."""
+    cfg = tiny_cfg()
+    cfg.train.steps_per_dispatch = 8
+    b1 = _dummy_batch(cfg)
+    batches = [
+        {k: (v + i if k == "words" else v) for k, v in b1.items()}
+        for i in range(7)
+    ]
+
+    tr_seq = Trainer(cfg, rng_seed=3, init_batch=b1)
+    seq_losses = [float(tr_seq.update(b)) for b in batches]
+
+    tr_chunk = Trainer(cfg, rng_seed=3, init_batch=b1)
+    scan_sizes = []
+    orig = tr_chunk._chunk_step
+
+    def spy(params, opt_state, stack, key, step0):
+        scan_sizes.append(int(stack.shape[0]))
+        return orig(params, opt_state, stack, key, step0)
+
+    tr_chunk._chunk_step = spy
+    chunk_losses = [float(x) for x in tr_chunk.update_chunk(batches)]
+
+    assert scan_sizes == [4, 2]  # remainder 1 goes through update()
+    assert seq_losses == chunk_losses
+    assert tr_chunk.global_step == tr_seq.global_step == 7
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        tr_seq.params, tr_chunk.params,
+    )
+
+
+def test_evaluate_chunk_sizes_are_bounded():
+    """evaluate() at spd=6 over 11 same-shape batches must only dispatch
+    allowed sizes, and match the unchunked result exactly."""
+    cfg = tiny_cfg()
+    cfg.train.steps_per_dispatch = 6
+    b = _dummy_batch(cfg)
+    batches = [
+        {k: (v + i if k == "words" else v) for k, v in b.items()}
+        for i in range(11)
+    ]
+
+    tr = Trainer(cfg, rng_seed=1, init_batch=b)
+    scan_sizes = []
+    orig = tr._forward_eval_chunk
+
+    def spy(params, stack):
+        scan_sizes.append(int(stack.shape[0]))
+        return orig(params, stack)
+
+    tr._forward_eval_chunk = spy
+    preds_c, probs_c, loss_c = tr.evaluate(batches)
+    allowed = set(allowed_chunk_sizes(6))
+    assert scan_sizes and all(s in allowed for s in scan_sizes)
+
+    cfg_plain = tiny_cfg()
+    tr_plain = Trainer(cfg_plain, rng_seed=1, init_batch=b)
+    tr_plain.params = tr.params
+    preds_p, probs_p, loss_p = tr_plain.evaluate(batches)
+    assert preds_c == preds_p
+    np.testing.assert_array_equal(np.asarray(probs_c), np.asarray(probs_p))
+    assert float(loss_c) == float(loss_p)
+
+
+def _sample_batcher(word_dropout=0.5):
+    from gcn_tpu.data.dataset import Batcher, RelationDataset
+    from gcn_tpu.data.vocab import Vocab
+
+    cfg = tiny_cfg()
+    cfg.train.word_dropout = word_dropout
+    vocab = Vocab(["<PAD>", "<UNK>"])
+    cfg.model.vocab_size = 64  # ids clamp via UNK mapping; table is larger
+    ds = RelationDataset("dataset/tacred/train.json", cfg, vocab)
+    return cfg, Batcher(ds, 4, evaluation=False)
+
+
+def test_warmup_batches_one_per_shape_and_rng_untouched():
+    # batcher A: plain first epoch (no warmup)
+    cfg, batcher_a = _sample_batcher()
+    baseline = [b["words"].copy() for b in batcher_a]
+
+    # batcher B: warmup_batches() first, then the first epoch — the
+    # word-dropout draws must be identical to A's (throwaway RNG inside)
+    cfg2, batcher_b = _sample_batcher()
+    reps = batcher_b.warmup_batches()
+    shapes = [r["words"].shape for r in reps]
+    assert len(shapes) == len(set(shapes))  # one rep per shape
+    first_epoch = []
+    epoch_shapes = set()
+    for b in batcher_b:
+        first_epoch.append(b["words"].copy())
+        epoch_shapes.add(b["words"].shape)
+    assert set(shapes) == epoch_shapes
+    assert len(baseline) == len(first_epoch)
+    for a, b in zip(baseline, first_epoch):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_warmup_preserves_trainer_state_and_trajectory():
+    """Training after warmup() must be bit-identical to training without
+    it (dummy zero state only; real params/opt_state/RNG untouched)."""
+    cfg, batcher = _sample_batcher(word_dropout=0.0)
+    cfg.train.steps_per_dispatch = 4
+
+    init = _dummy_batch(cfg)
+    tr_warm = Trainer(cfg, rng_seed=7, init_batch=init)
+    params_before = jax.tree.map(np.asarray, tr_warm.params)
+    reps = batcher.warmup_batches()
+    stats = tr_warm.warmup(reps, max_workers=2)
+    assert stats["programs"] >= len(reps)
+    assert tr_warm.global_step == 0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        params_before, tr_warm.params,
+    )
+
+    cfg2 = copy.deepcopy(cfg)
+    tr_cold = Trainer(cfg2, rng_seed=7, init_batch=init)
+
+    for tr in (tr_warm, tr_cold):
+        buf = []
+        for b in batcher:
+            if buf and b["words"].shape != buf[0]["words"].shape:
+                tr.update_chunk(buf)
+                buf = []
+            buf.append(b)
+        if buf:
+            tr.update_chunk(buf)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        tr_warm.params, tr_cold.params,
+    )
