@@ -98,6 +98,19 @@ class ModelConfig:
     # per-token contraction (model/gcn.py:400-415) at ~25× fewer FLOPs.
     # "auto" = on (it is exact); False restores the 3-operand einsum.
     deprel_factored: bool | str = "auto"
+    # Graph-parallel aggregation over the mesh ``model`` axis (the GNN
+    # analog of sequence/context parallelism — SURVEY.md §5; the reference
+    # is single-device, reference train.py:93-94):
+    #   "none"  — dense banded matmuls, adjacency replicated (default),
+    #   "edges" — edge lists sharded over the axis; each device scatter-
+    #             aggregates its edge shard, one psum combines
+    #             (parallel.edge_partition),
+    #   "halo"  — node features sharded into slabs over the axis; one
+    #             all_to_all exchanges only boundary-node features
+    #             (parallel.halo) — per-device feature memory is N/K.
+    # Takes effect when a partition mesh is active (DistributedTrainer
+    # with mesh.graph_axis > 1); otherwise falls back to the dense path.
+    graph_partition: str = "none"
 
     @property
     def input_dim(self) -> int:

@@ -243,6 +243,11 @@ class Batcher:
             order[i : i + batch_size] for i in range(0, len(order), batch_size)
         ]
         self.num_examples = len(order)
+        # graph_partition=halo: when set (>1, by the driver after mesh
+        # construction), every materialized batch carries static-shape
+        # fwd+rev halo exchange plans (parallel.halo.attach_halo_plans)
+        # for a `model` axis of this many devices
+        self.halo_devices = 0
         # eval batches are deterministic (no word dropout, fixed order), so
         # they are materialized once and replayed — the driver evaluates
         # train/dev/test every epoch, and at ~0.7 ms/batch the per-example
@@ -364,6 +369,10 @@ class Batcher:
         }
         if self.ds.dataset == "tacred":
             batch["ner"] = ner
+        if self.halo_devices > 1:
+            from gcn_tpu.parallel.halo import attach_halo_plans
+
+            batch = attach_halo_plans(batch, n, self.halo_devices)
         return batch
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:

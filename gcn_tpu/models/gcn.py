@@ -191,14 +191,50 @@ class GCNClassifier(nn.Module):
         if use_pallas == "auto":
             use_pallas = False
         edge_drop_active = (not deterministic) and cfg.edge_keep_prob < 1.0
-        use_fused = use_pallas and (
+        # Graph-parallel aggregation (trace-time context set by the
+        # trainer; parallel.edge_partition / parallel.halo over the mesh
+        # ``model`` axis).  Replaces BOTH the dense banded matmuls and the
+        # fused Pallas kernels with the partitioned edge-list operators —
+        # the scalable mode the reference never had (SURVEY.md §5).
+        from gcn_tpu.utils.shard_ctx import active_partition
+
+        part = active_partition()
+        if part is not None and cfg.graph_partition == "none":
+            part = None
+        if part is not None and cfg.adj_type == "attention":
+            raise ValueError(
+                "adj_type=attention does not support graph_partition "
+                "(edge-softmax normalization is cross-shard); use "
+                "regular/diagonal_deprel/full_deprel"
+            )
+        if part is not None and part[0] == "halo" and edge_drop_active:
+            raise ValueError(
+                "graph_partition=halo does not support stochastic edge "
+                "dropout (edge_keep_prob < 1): the exchange plan is built "
+                "host-side per batch; use graph_partition=edges"
+            )
+        use_fused = (part is None) and use_pallas and (
             (cfg.adj_type == "regular" and not cfg.no_adj)
             or (
                 cfg.adj_type in ("diagonal_deprel", "full_deprel")
                 and not edge_drop_active
             )
         )
-        if use_fused or cfg.adj_type == "attention":
+        denom = None
+        if part is not None:
+            from gcn_tpu.ops.spmm import node_degrees
+
+            deg_out, deg_in, incident = node_degrees(
+                batch["edge_parent"], batch["edge_child"],
+                batch["edge_mask"], n, dtype=dtype,
+            )
+            adj = None
+            pool_exclude = ~incident
+            # same normalizer as ops.adjacency.build_adjacency
+            denom = (
+                deg_out + deg_in + incident.astype(dtype) + 1.0
+            )[:, :, None]
+        elif use_fused or cfg.adj_type == "attention":
             from gcn_tpu.ops.spmm import node_degrees
 
             _, _, incident = node_degrees(
@@ -295,7 +331,8 @@ class GCNClassifier(nn.Module):
             (len(constants.DEPREL_TO_ID), self.deprel_side),
         ).astype(dtype)
         deprel = batch["deprel"]
-        denom = None if adj is None else adj.denom.astype(dtype)
+        if adj is not None:
+            denom = adj.denom.astype(dtype)
 
         deprel_ws = None
         if cfg.adj_type == "full_deprel":
@@ -355,8 +392,22 @@ class GCNClassifier(nn.Module):
                     )
                     h = finish_layer(h, l)
                     continue
-                axw = regular_layer(h, adj.combined, w, b,
-                                    no_adj=cfg.no_adj)
+                if part is not None:
+                    # partitioned A_c @ h + h = A_f h + A_fᵀ h + diag + h
+                    # (same math as ops.gcn_layers.regular_layer)
+                    if cfg.no_adj:
+                        ax = h
+                    else:
+                        ax = (
+                            self._part_agg(part, batch, h)
+                            + self._part_agg(part, batch, h, reverse=True)
+                            + incident.astype(dtype)[:, :, None] * h
+                            + h
+                        )
+                    axw = jnp.matmul(ax, w) + 2.0 * b
+                else:
+                    axw = regular_layer(h, adj.combined, w, b,
+                                        no_adj=cfg.no_adj)
             elif cfg.adj_type == "attention":
                 # Edge-attention aggregation (NEW — the reference only
                 # sketched this: the --deprel_attn flag and masked_softmax
@@ -419,8 +470,17 @@ class GCNClassifier(nn.Module):
                     )
                     h = finish_layer(h, l)
                     continue
-                axw = diagonal_deprel_layer(h, adj.forward, e_fwd, e_rev,
-                                            e_self)
+                if part is not None:
+                    # partitioned A_f (e_fwd⊙h) + A_fᵀ (e_rev⊙h) + e_self⊙h
+                    axw = (
+                        self._part_agg(part, batch, e_fwd * h)
+                        + self._part_agg(part, batch, e_rev * h,
+                                         reverse=True)
+                        + e_self * h
+                    )
+                else:
+                    axw = diagonal_deprel_layer(h, adj.forward, e_fwd,
+                                                e_rev, e_self)
             elif cfg.adj_type == "full_deprel":
                 w, b = deprel_ws[l]
                 if use_fused:
@@ -438,10 +498,38 @@ class GCNClassifier(nn.Module):
                     )
                     h = finish_layer(h, l)
                     continue
-                axw = self._full_deprel(
-                    h, adj, deprel_table, deprel, l, w, b, dtype,
-                    deterministic, fd_plans,
-                )
+                if part is not None:
+                    # Per-band edge dropout on the EDGE LIST ([B,E] keep
+                    # masks — "edges" mode only; halo raises above).  The
+                    # realized masks differ from the dense path's [B,N,N]
+                    # band dropout as RNG draws, not in distribution.
+                    em_f = em_r = None
+                    if edge_drop_active:
+                        em0 = batch["edge_mask"]
+                        em_f = em0 & jax.random.bernoulli(
+                            rng(), cfg.edge_keep_prob, em0.shape
+                        )
+                        if not cfg.deprel_directed:
+                            em_r = em0 & jax.random.bernoulli(
+                                rng(), cfg.edge_keep_prob, em0.shape
+                            )
+                    x_f, x_r, x_s = self._full_deprel_components(
+                        h, deprel_table, deprel, l, w, b, dtype,
+                        deterministic, fd_plans, bilinear_impl="xla",
+                    )
+                    axw = self._part_agg(part, batch, x_f,
+                                         em_override=em_f)
+                    if not cfg.deprel_directed:
+                        axw = axw + self._part_agg(
+                            part, batch, x_r, reverse=True,
+                            em_override=em_r,
+                        )
+                    axw = axw + x_s
+                else:
+                    axw = self._full_deprel(
+                        h, adj, deprel_table, deprel, l, w, b, dtype,
+                        deterministic, fd_plans,
+                    )
             else:
                 raise ValueError(f"unknown adj_type: {cfg.adj_type}")
 
@@ -462,6 +550,58 @@ class GCNClassifier(nn.Module):
             out = jax.nn.relu(out)
         logits = TorchDense(cfg.num_class, dtype=dtype, name="classifier")(out)
         return logits.astype(jnp.float32), h_out.astype(jnp.float32)
+
+    # -------------------------------------------------------- partitioning
+    def _part_agg(self, part, batch, x, reverse: bool = False,
+                  em_override=None):
+        """``A_f @ x`` (or ``A_fᵀ @ x``) through the active graph-parallel
+        operator (``utils.shard_ctx.active_partition``):
+
+        * "edges": edge list sharded over the mesh ``model`` axis, one
+          psum combines partial aggregates (``parallel.edge_partition``),
+        * "halo": node features sharded into slabs, one all_to_all of
+          boundary features (``parallel.halo``); the per-batch exchange
+          plans ride in the batch dict (``attach_halo_plans``).
+        """
+        mode, mesh, axis, da = part
+        if mode == "edges":
+            from gcn_tpu.parallel.edge_partition import (
+                partitioned_aggregate,
+            )
+
+            ep, ec = batch["edge_parent"], batch["edge_child"]
+            em = batch["edge_mask"] if em_override is None else em_override
+            ax_sz = mesh.shape[axis]
+            pad_e = (-ep.shape[1]) % ax_sz
+            if pad_e:
+                ep = jnp.pad(ep, ((0, 0), (0, pad_e)))
+                ec = jnp.pad(ec, ((0, 0), (0, pad_e)))
+                em = jnp.pad(em, ((0, 0), (0, pad_e)))
+            return partitioned_aggregate(
+                mesh, x, ep, ec, em, reverse=reverse, axis=axis,
+                data_axis=da,
+            )
+        # halo
+        from gcn_tpu.parallel.halo import (
+            halo_aggregate_arrays,
+            plans_from_batch,
+        )
+
+        if "hplan_f_req" not in batch:
+            raise ValueError(
+                "graph_partition=halo requires hplan_* plan arrays in the "
+                "batch — attach them with parallel.halo.attach_halo_plans "
+                "(the Batcher does this when halo_devices is set)"
+            )
+        arrs = plans_from_batch(batch, "r" if reverse else "f")
+        k = int(arrs[0].shape[0])
+        n = x.shape[1]
+        slab = -(-n // k)
+        pad = k * slab - n
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+        out = halo_aggregate_arrays(mesh, xp, *arrs, axis=axis,
+                                    data_axis=da)
+        return out[:, :n] if pad else out
 
     # ------------------------------------------------------------ full_deprel
     def _use_factored(self) -> bool:
@@ -644,15 +784,26 @@ class GCNClassifier(nn.Module):
                                  adj_reverse=a_r)
 
     def _full_deprel_components(self, h, deprel_table, deprel, l, w, b,
-                                dtype, deterministic, plans=None):
-        """Per-band message tensors for the fused Pallas aggregation:
-        (x_f, x_r, x_self) such that the layer output is
-        ``(A_f x_f + A_fᵀ x_r + x_self)/denom`` — the deprel-conditioned
-        transforms themselves run through the Pallas bilinear kernel."""
-        from gcn_tpu.ops.gcn_layers import self_loop_traverse
-        from gcn_tpu.ops.pallas.deprel_bilinear import (
-            deprel_bilinear_batched,
+                                dtype, deterministic, plans=None,
+                                bilinear_impl: str = "pallas"):
+        """Per-band message tensors for the fused Pallas / partitioned
+        aggregation: (x_f, x_r, x_self) such that the layer output is
+        ``(A_f x_f + A_fᵀ x_r + x_self)/denom``.  ``bilinear_impl`` picks
+        the non-factored per-token transform engine: "pallas" (the fused
+        bilinear kernel) or "xla" (``ops.gcn_layers.bilinear_traverse`` —
+        used by the partitioned paths, which must run on any backend)."""
+        from gcn_tpu.ops.gcn_layers import (
+            bilinear_traverse,
+            self_loop_traverse,
         )
+
+        if bilinear_impl == "pallas":
+            from gcn_tpu.ops.pallas.deprel_bilinear import (
+                deprel_bilinear_batched,
+            )
+        else:
+            def deprel_bilinear_batched(h_, e_, w_, b_):
+                return bilinear_traverse(h_, e_, w_, b_)
 
         cfg = self.cfg
         d = cfg.deprel_emb_dim

@@ -26,27 +26,36 @@ from gcn_tpu.ops.spmm import spmm_forward, spmm_reverse
 
 def partitioned_aggregate(
     mesh: Mesh,
-    h: jax.Array,            # [B,N,H] replicated node features
+    h: jax.Array,            # [B,N,H] node features (replicated over axis)
     edge_parent: jax.Array,  # [B,E] — E divisible by axis size
     edge_child: jax.Array,
     edge_mask: jax.Array,
     reverse: bool = False,
     axis: str = "model",
+    data_axis: str | None = None,
 ) -> jax.Array:
-    """``A_f @ h`` (or ``A_fᵀ @ h``) with edges sharded over ``axis``."""
+    """``A_f @ h`` (or ``A_fᵀ @ h``) with edges sharded over ``axis``.
+
+    ``data_axis`` co-shards the batch dimension so the operator composes
+    with data parallelism on a (data × model) mesh without GSPMD inserting
+    an all-gather over ``data`` around the shard_map.
+    """
 
     op = spmm_reverse if reverse else spmm_forward
+    da = data_axis if (
+        data_axis is not None and dict(mesh.shape).get(data_axis, 1) > 1
+    ) else None
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(),                    # h replicated
-            P(None, axis),          # edge arrays sharded on E
-            P(None, axis),
-            P(None, axis),
+            P(da, None, None),      # h replicated over the model axis
+            P(da, axis),            # edge arrays sharded on E
+            P(da, axis),
+            P(da, axis),
         ),
-        out_specs=P(),
+        out_specs=P(da, None, None),
         check_vma=False,
     )
     def run(h_local, ep, ec, em):

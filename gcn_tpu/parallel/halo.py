@@ -68,6 +68,7 @@ def build_halo_plan(
     n: int,
     n_devices: int,
     reverse: bool = False,
+    pad_to: tuple[int, int, int] | None = None,
 ) -> HaloPlan:
     """Load-time (host) partitioning of a batched edge list.
 
@@ -75,6 +76,12 @@ def build_halo_plan(
     = parent); ``reverse=True`` plans ``A_fᵀ @ h``.  O(B·E) python — done
     once per batch at data-load time alongside pruning (the same place the
     reference rebuilt trees every forward, ``model/gcn.py:102-112``).
+
+    ``pad_to=(hp, el, eh)`` pads the capacity dimensions to STATIC budgets
+    so every batch of a bucket compiles to the same XLA program (the
+    training path sets hp = slab — requests are deduped per source node,
+    so a peer can never request more than one whole slab — and
+    el = eh = E).
     """
     b_sz, _ = edge_parent.shape
     k = n_devices
@@ -112,6 +119,13 @@ def build_halo_plan(
     hp = max([len(v) for v in requests.values()] + [1])
     el = max([len(x) for dev in local for x in dev] + [1])
     eh = max([len(x) for dev in halo for x in dev] + [1])
+    if pad_to is not None:
+        hp_b, el_b, eh_b = pad_to
+        assert hp <= hp_b and el <= el_b and eh <= eh_b, (
+            f"halo plan exceeds static budget: need ({hp},{el},{eh}) "
+            f"> budget ({hp_b},{el_b},{eh_b})"
+        )
+        hp, el, eh = hp_b, el_b, eh_b
 
     req_arr = np.zeros((k, k, b_sz, hp), np.int32)
     req_mask = np.zeros((k, k, b_sz, hp), bool)
@@ -172,12 +186,20 @@ def halo_aggregate(
     plan: HaloPlan,
     axis: str = "model",
     debug_checksum: bool = False,
+    data_axis: str | None = None,
 ) -> jax.Array:
     """Sparse aggregation with node-sharded features + halo exchange.
 
     Returns the same [B, K·S, H] node-sharded layout.  Communication is one
     ``all_to_all`` of [K, B, Hp, H] boundary features; per-device live
     feature memory is ``B·(S + K·Hp)·H``.
+
+    Plan arrays may be host numpy (standalone use) or traced jax arrays
+    (the training path ships them in the batch dict — see
+    ``attach_halo_plans``); all static sizes derive from their shapes.
+    ``data_axis`` co-shards the batch dimension so the operator composes
+    with data parallelism on a (data × model) mesh — plans are
+    per-example, so splitting B is exact.
 
     ``debug_checksum=True`` adds the SURVEY §5 cross-host sanitizer: the
     ``all_to_all`` permutes boundary features across devices, so the
@@ -186,27 +208,52 @@ def halo_aggregate(
     plan) raises ``FloatingPointError`` from a host callback.  Debug only —
     it forces an extra all-reduce and a host sync.
     """
-    k, slab, hp = plan.n_devices, plan.slab, plan.halo_width
-    assert mesh.shape[axis] == k, (mesh.shape, k)
-
-    reqs = jnp.asarray(plan.requests)
-    reqm = jnp.asarray(plan.request_mask)
-    args = [jnp.asarray(a) for a in (
+    return halo_aggregate_arrays(
+        mesh, h, plan.requests, plan.request_mask,
         plan.local_dst, plan.local_src, plan.local_mask,
         plan.halo_dst, plan.halo_src, plan.halo_mask,
+        axis=axis, debug_checksum=debug_checksum, data_axis=data_axis,
+    )
+
+
+def halo_aggregate_arrays(
+    mesh: Mesh,
+    h: jax.Array,
+    requests, request_mask,          # [K, K, B, Hp]
+    local_dst, local_src, local_mask,  # [K, B, El]
+    halo_dst, halo_src, halo_mask,     # [K, B, Eh]
+    axis: str = "model",
+    debug_checksum: bool = False,
+    data_axis: str | None = None,
+) -> jax.Array:
+    """`halo_aggregate` over raw plan arrays (numpy or traced)."""
+    k = int(requests.shape[0])
+    hp = int(requests.shape[3])
+    assert mesh.shape[axis] == k, (mesh.shape, k)
+    assert h.shape[1] % k == 0, (h.shape, k)
+    slab = h.shape[1] // k
+
+    reqs = jnp.asarray(requests)
+    reqm = jnp.asarray(request_mask)
+    args = [jnp.asarray(a) for a in (
+        local_dst, local_src, local_mask,
+        halo_dst, halo_src, halo_mask,
     )]
+    da = data_axis if (
+        data_axis is not None and dict(mesh.shape).get(data_axis, 1) > 1
+    ) else None
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None),       # h: nodes sharded
-            P(axis,),                  # requests [K_owner, K, B, Hp]
-            P(axis,),
-            P(axis,), P(axis,), P(axis,),   # local edges [K, B, El]
-            P(axis,), P(axis,), P(axis,),   # halo edges  [K, B, Eh]
+            P(da, axis, None),         # h: batch × nodes sharded
+            P(axis, None, da),         # requests [K_owner, K, B, Hp]
+            P(axis, None, da),
+            P(axis, da), P(axis, da), P(axis, da),  # local edges [K, B, El]
+            P(axis, da), P(axis, da), P(axis, da),  # halo edges  [K, B, Eh]
         ),
-        out_specs=P(None, axis, None),
+        out_specs=P(da, axis, None),
         check_vma=False,
     )
     def run(h_own, req, req_mask, l_dst, l_src, l_mask, h_dst, h_src,
@@ -244,6 +291,65 @@ def halo_aggregate(
         return out
 
     return run(h, reqs, reqm, *args)
+
+
+# ------------------------------------------------------- batch integration
+# The training path ships halo plans inside the batch dict as plain arrays
+# (they must be TRACED jit inputs — closure-captured numpy constants would
+# bake the first batch's plan into the compiled program).  Keys:
+# ``hplan_{f,r}_{req,reqm,ldst,lsrc,lmask,hdst,hsrc,hmask}`` for the
+# forward (A_f @ x) and reverse (A_fᵀ @ x) bands.
+
+_PLAN_FIELDS = (
+    ("req", "requests"), ("reqm", "request_mask"),
+    ("ldst", "local_dst"), ("lsrc", "local_src"), ("lmask", "local_mask"),
+    ("hdst", "halo_dst"), ("hsrc", "halo_src"), ("hmask", "halo_mask"),
+)
+
+
+def is_plan_key(key: str) -> bool:
+    return key.startswith("hplan_")
+
+
+def plan_spec(key: str, ndim: int, axis: str = "model",
+              data_axis: str | None = "data"):
+    """PartitionSpec for one plan array in a sharded batch: device dim on
+    the ``model`` axis, batch dim on ``data`` (matching
+    ``halo_aggregate_arrays``'s in_specs)."""
+    if ndim == 4:   # requests / request_mask [K, K, B, Hp]
+        return P(axis, None, data_axis, None)
+    return P(axis, data_axis, None)  # [K, B, E]
+
+
+def attach_halo_plans(batch: dict, n: int, n_devices: int) -> dict:
+    """Build static-shape fwd+rev halo plans for one host batch and return
+    the batch extended with the ``hplan_*`` arrays.
+
+    Static budgets (identical for every batch of a bucket, so XLA compiles
+    one program per bucket): per-pair request capacity = slab (requests
+    are source-deduped, so a peer can never need more than one whole
+    slab), local/halo edge capacity = E (the batch's edge budget).
+    """
+    k = n_devices
+    slab = -(-n // k)
+    e_cap = int(batch["edge_parent"].shape[1])
+    out = dict(batch)
+    for tag, reverse in (("f", False), ("r", True)):
+        plan = build_halo_plan(
+            np.asarray(batch["edge_parent"]),
+            np.asarray(batch["edge_child"]),
+            np.asarray(batch["edge_mask"]),
+            n, k, reverse=reverse, pad_to=(slab, e_cap, e_cap),
+        )
+        for short, field in _PLAN_FIELDS:
+            out[f"hplan_{tag}_{short}"] = getattr(plan, field)
+    return out
+
+
+def plans_from_batch(batch: dict, tag: str):
+    """The 8 plan arrays for one band ('f' or 'r'), in
+    ``halo_aggregate_arrays`` argument order."""
+    return tuple(batch[f"hplan_{tag}_{short}"] for short, _ in _PLAN_FIELDS)
 
 
 def pad_nodes_for_axis(h: jax.Array, n_devices: int) -> jax.Array:

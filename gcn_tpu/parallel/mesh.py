@@ -46,10 +46,16 @@ def batch_shardings(mesh: Mesh, batch: dict) -> dict:
     pure graph partitioning; the replicated-batch variant lives in
     ``edge_partition.py``.
     """
+    from gcn_tpu.parallel.halo import is_plan_key, plan_spec
+
     spec = {}
     for k, v in batch.items():
         ndim = np.ndim(v)
-        spec[k] = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+        if is_plan_key(k):
+            # halo plan arrays: device dim on `model`, batch dim on `data`
+            spec[k] = NamedSharding(mesh, plan_spec(k, ndim))
+        else:
+            spec[k] = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
     return spec
 
 

@@ -30,11 +30,15 @@ def make_loss_fn(model: GCNClassifier, cfg: Config,
                  mesh: Mesh | None = None) -> Callable:
     """``mesh`` activates shard-local grouping for the factored
     full_deprel path (``utils.shard_ctx``): tokens are sorted/grouped per
-    data shard inside ``shard_map`` instead of via a cross-device sort."""
-    from gcn_tpu.utils.shard_ctx import local_grouping
+    data shard inside ``shard_map`` instead of via a cross-device sort.
+    It also carries the graph-partition context when
+    ``cfg.model.graph_partition`` requests the edge-partitioned / halo
+    aggregation over the ``model`` axis."""
+    from gcn_tpu.utils.shard_ctx import graph_partition, local_grouping
 
     def loss_fn(params, batch, key):
-        with local_grouping(mesh):
+        with local_grouping(mesh), graph_partition(
+                cfg.model.graph_partition, mesh):
             logits, pooled = model.apply(
                 params, batch, False, rngs={"dropout": key}
             )
@@ -81,21 +85,21 @@ def make_sharded_train_step(
     placed_params = jax.device_put(params, p_shard)
     placed_opt = jax.device_put(opt_state, o_shard)
 
-    # Two jitted programs instead of one monolith: the combined
-    # grad+optimizer graph compiles pathologically slowly on the remote
-    # TPU compile service, while the parts compile in seconds.  The extra
-    # HBM round-trip of the (small) gradient tree is negligible.
-    grad_step = jax.jit(jax.value_and_grad(loss_fn))
-
+    # ONE donated jitted SPMD program for the whole step (grad + clip +
+    # optimizer update), matching the single-device fused path: one
+    # dispatch per step and the gradient tree never round-trips HBM.
+    # (An earlier revision split grad/apply to work around a remote-
+    # compile-service slowdown the fused single-device path has since
+    # retired; equality vs the split path is covered by
+    # tests/test_parallel.py.)
     @partial(jax.jit, donate_argnums=(0, 1))
-    def apply_step(params, opt_state, grads):
+    def fused_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+        return optax.apply_updates(params, updates), opt_state, loss
 
     def run(params, opt_state, batch, key):
         batch = jax.device_put(batch, b_shard)
-        loss, grads = grad_step(params, batch, key)
-        params, opt_state = apply_step(params, opt_state, grads)
-        return params, opt_state, loss
+        return fused_step(params, opt_state, batch, key)
 
     return run, placed_params, placed_opt, b_shard

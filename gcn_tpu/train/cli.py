@@ -177,6 +177,18 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                         "sgd/adagrad fused steps at vocab >= 300k, the "
                         "measured v5e crossover where the row scatter "
                         "beats the dense table update.")
+    p.add_argument("--graph_partition", type=str, default="none",
+                   choices=["none", "edges", "halo"],
+                   help="Graph-parallel aggregation over the mesh `model` "
+                        "axis (requires --graph_axis > 1): edges = edge "
+                        "lists sharded + one psum; halo = node-feature "
+                        "slabs + one boundary all_to_all (per-device "
+                        "feature memory N/K). The reference is strictly "
+                        "single-device.")
+    p.add_argument("--graph_axis", type=int, default=1,
+                   help="Mesh `model` axis size for graph partitioning / "
+                        "tensor parallelism (devices are split data x "
+                        "model; default 1 = pure data parallelism).")
     p.add_argument("--prng_impl", type=str, default="auto",
                    choices=["auto", "threefry", "rbg"],
                    help="PRNG backend for dropout/edge-drop masks: auto = "
@@ -236,6 +248,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.compute_dtype = args.compute_dtype
     m.use_pallas = args.use_pallas
     m.deprel_factored = args.deprel_factored
+    m.graph_partition = args.graph_partition
+    cfg.mesh.graph_axis = args.graph_axis
 
     t.prng_impl = args.prng_impl
     t.pack_transfers = args.pack_transfers

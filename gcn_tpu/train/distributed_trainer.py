@@ -51,6 +51,12 @@ class DistributedTrainer(Trainer):
         # jitted steps group the factored full_deprel tokens per data
         # shard (shard_map; no cross-device sort) — see utils.shard_ctx
         self._grouping_mesh = mesh
+        # graph-parallel aggregation over the mesh model axis (the
+        # trainable edge-partition / halo modes — parallel.{edge_partition,
+        # halo}); no-op unless cfg.model.graph_partition requests it AND
+        # the model axis has >1 shard (shard_ctx.graph_partition gates)
+        if cfg.model.graph_partition != "none":
+            self._partition_mesh = mesh
         # auto row-sparse embedding updates stay off on a mesh: the row
         # scatter onto a vocab-sharded table is correct (tested) but its
         # cross-shard traffic is not profiled; --sparse_emb_grad true
@@ -81,9 +87,15 @@ class DistributedTrainer(Trainer):
         return meta
 
     def _place_batch(self, batch: dict) -> dict:
+        from gcn_tpu.parallel.halo import is_plan_key, plan_spec
+
         placed = {}
         for k, v in batch.items():
-            spec = P("data", *([None] * (np.ndim(v) - 1)))
+            if is_plan_key(k):
+                # halo plan arrays: device dim on `model`, batch on `data`
+                spec = plan_spec(k, np.ndim(v))
+            else:
+                spec = P("data", *([None] * (np.ndim(v) - 1)))
             placed[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
         return placed
 

@@ -188,6 +188,22 @@ def run_training(
         trainer = DistributedTrainer(cfg, emb_matrix=emb_matrix)
     else:
         trainer = Trainer(cfg, emb_matrix=emb_matrix)
+    if cfg.model.graph_partition == "halo" and jax.process_count() > 1:
+        raise NotImplementedError(
+            "graph_partition=halo is single-process SPMD for now (the "
+            "multi-host batch slicer doesn't model the plan-array layout); "
+            "use graph_partition=edges for multi-host graph parallelism"
+        )
+    if (cfg.model.graph_partition == "halo"
+            and getattr(trainer, "_partition_mesh", None) is not None):
+        # every batch needs static-shape halo exchange plans for the
+        # mesh's model axis (parallel.halo.attach_halo_plans)
+        k_halo = trainer.mesh.shape["model"]
+        if k_halo > 1:
+            for b in (train_batcher, train_eval_batcher, dev_batcher,
+                      test_batcher):
+                if b is not None:
+                    b.halo_devices = k_halo
     start_epoch = 1
     skip_batches = 0
     resumed_step = 0

@@ -208,6 +208,15 @@ class Trainer:
         # 13 per-leaf placements).
         self._pack = (cfg.train.pack_transfers
                       and not cfg.model.use_bert_embeddings)
+        # graph-parallel aggregation (cfg.model.graph_partition): the mesh
+        # is set by DistributedTrainer; the jitted steps activate the
+        # trace-time context so the model routes its aggregation through
+        # parallel.edge_partition / parallel.halo
+        self._partition_mesh = None
+        if cfg.model.graph_partition == "halo":
+            # halo plans ride the batch dict as extra arrays that the
+            # packed single-buffer layout doesn't model
+            self._pack = False
 
     def _set_sparse_emb(self, flag: bool) -> None:
         """Flip the row-sparse embedding mode BEFORE any step has traced
@@ -234,10 +243,11 @@ class Trainer:
         eager dispatch (expensive over the TPU relay), and deriving from
         the step counter makes the stream reproducible across ``--resume``
         (a split chain restarts wherever the restored process left it)."""
-        from gcn_tpu.utils.shard_ctx import local_grouping
+        from gcn_tpu.utils.shard_ctx import graph_partition, local_grouping
 
         step_key = jax.random.fold_in(key, step)
-        with local_grouping(self._grouping_mesh):
+        with local_grouping(self._grouping_mesh), graph_partition(
+                self.cfg.model.graph_partition, self._partition_mesh):
             logits, pooled = self.model.apply(
                 params, batch, False, rngs={"dropout": step_key}
             )
@@ -405,9 +415,10 @@ class Trainer:
         return losses
 
     def _eval_core(self, params, batch):
-        from gcn_tpu.utils.shard_ctx import local_grouping
+        from gcn_tpu.utils.shard_ctx import graph_partition, local_grouping
 
-        with local_grouping(self._grouping_mesh):
+        with local_grouping(self._grouping_mesh), graph_partition(
+                self.cfg.model.graph_partition, self._partition_mesh):
             logits, _ = self.model.apply(params, batch, True)
         logits = logits.astype(jnp.float32)  # fp32 CE/softmax always
         em = batch["example_mask"].astype(jnp.float32)

@@ -54,3 +54,41 @@ def local_grouping(mesh, data_axis: str = "data",
 def active_grouping():
     """(mesh, data_axis, model_axis) when a context is active, else None."""
     return _ctx.get()
+
+
+# --------------------------------------------------------- graph partition
+# Trace-time context that routes the model's neighborhood aggregation
+# through the partition-parallel operators (parallel.edge_partition /
+# parallel.halo) over the mesh's ``model`` axis.  Same design as
+# ``local_grouping``: the trainer owns the mesh; the model reads the
+# context at trace time so each trainer's jit cache is keyed consistently.
+
+_part_ctx: contextvars.ContextVar = contextvars.ContextVar(
+    "gcn_tpu_partition_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def graph_partition(mode: str, mesh, axis: str = "model",
+                    data_axis: Optional[str] = "data"):
+    """Activate partition-parallel aggregation ``mode`` ("edges"|"halo")
+    over ``mesh``'s ``axis``.  No-op when mode is "none"/falsy, mesh is
+    None, or the axis has a single shard (the partitioned operators would
+    only add overhead there — the dense path is identical math)."""
+    if (not mode or mode == "none" or mesh is None
+            or dict(mesh.shape).get(axis, 1) <= 1):
+        yield
+        return
+    if mode not in ("edges", "halo"):
+        raise ValueError(f"unknown graph_partition mode: {mode!r}")
+    token = _part_ctx.set((mode, mesh, axis, data_axis))
+    try:
+        yield
+    finally:
+        _part_ctx.reset(token)
+
+
+def active_partition():
+    """(mode, mesh, axis, data_axis) when a partition context is active,
+    else None."""
+    return _part_ctx.get()

@@ -166,3 +166,42 @@ def test_steps_per_dispatch_is_bit_identical(tmp_path):
         with open(os.path.join(save, "sp", "logs.txt")) as f:
             outs[spd] = f.read()
     assert outs["1"] == outs["4"], (outs["1"], outs["4"])
+
+
+@pytest.mark.slow
+def test_train_graph_partition_matches_dp(tmp_path):
+    """Driver-level halo/edges training (VERDICT r2 item 1): train.py on
+    the 8-virtual-device CPU mesh with --graph_partition trains end-to-end
+    and its per-epoch losses/F1 match the plain DP run to tolerance."""
+    env8 = dict(
+        CLI_ENV,
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8"),
+    )
+
+    def run(mode, ident):
+        save = str(tmp_path / ident)
+        out = subprocess.run(
+            [sys.executable, "train.py", "--cpu", "--id", ident,
+             "--no-rnn", "--num_epoch", "2", "--hidden_dim", "16",
+             "--emb_dim", "300", "--batch_size", "20",
+             "--effective_batch_size", "20", "--model_save_dir", save,
+             "--graph_partition", mode, "--graph_axis", "4"],
+            capture_output=True, text=True, timeout=420, env=env8,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        with open(os.path.join(save, ident, "logs.txt")) as f:
+            rows = [ln.split("\t") for ln in f.read().strip().splitlines()
+                    if not ln.startswith("#") and "\t" in ln
+                    and not ln.startswith("new best")]
+        # (epoch, train_loss, dev_loss, dev_f1) rows
+        return [(float(r[1]), float(r[2]), float(r[3])) for r in rows]
+
+    dp = run("none", "dp")
+    for mode in ("edges", "halo"):
+        part = run(mode, mode)
+        assert len(part) == len(dp)
+        for (tl1, dl1, f1a), (tl2, dl2, f1b) in zip(dp, part):
+            assert abs(tl1 - tl2) < 5e-3, (mode, tl1, tl2)
+            assert abs(dl1 - dl2) < 5e-3, (mode, dl1, dl2)
+            assert abs(f1a - f1b) < 1e-6, (mode, f1a, f1b)

@@ -294,3 +294,129 @@ def test_distributed_packed_and_chunked_match_single_device():
     p1, _, loss1 = t1.predict_batch(batch)
     p2, _, loss2 = t2.predict_batch(batch)
     assert p1 == p2 and abs(loss1 - loss2) < 1e-4
+
+
+# ------------------------------------------------- trainable graph partition
+# VERDICT r2 item 1: the edge-partitioned / halo aggregation wired into the
+# actual model + trainer path (cfg.model.graph_partition), not just the
+# standalone operators.
+
+
+def _tiny_part_cfg(adj_type="regular", graph_partition="none"):
+    from gcn_tpu.config import cgcn_preset
+
+    cfg = cgcn_preset()
+    m = cfg.model
+    m.adj_type = adj_type
+    m.graph_partition = graph_partition
+    m.vocab_size = 100
+    m.emb_dim = 16
+    m.pos_dim = 4
+    m.ner_dim = 4
+    m.rnn = False
+    m.hidden_dim = 16
+    m.deprel_emb_dim = 8
+    m.input_dropout = 0.0
+    m.gcn_dropout = 0.0
+    cfg.train.batch_size = 8
+    return cfg
+
+
+def _part_batch(cfg, mode, k=4, n=16):
+    batch = graft._synthetic_batch(graft._flagship_cfg(tiny=True), b=8, n=n)
+    batch["words"] = batch["words"] % cfg.model.vocab_size
+    if mode == "halo":
+        from gcn_tpu.parallel.halo import attach_halo_plans
+
+        batch = attach_halo_plans(batch, n, k)
+    return batch
+
+
+@pytest.mark.parametrize("adj_type",
+                         ["regular", "diagonal_deprel", "full_deprel"])
+@pytest.mark.parametrize("mode", ["edges", "halo"])
+def test_partitioned_model_forward_matches_dense(adj_type, mode):
+    """GCNClassifier forward routed through graph_partition on a
+    (data=2, model=4) mesh == the dense single-device forward."""
+    from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.utils.shard_ctx import graph_partition
+
+    cfg = _tiny_part_cfg(adj_type, mode)
+    model = GCNClassifier(cfg.model)
+    batch = _part_batch(cfg, mode)
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, True,
+    )
+    ref, _ = jax.jit(lambda p, b: model.apply(p, b, True))(params, batch)
+
+    mesh = make_mesh(data=2, model=4)
+
+    def fwd(p, b):
+        with graph_partition(mode, mesh):
+            return model.apply(p, b, True)[0]
+
+    out = jax.jit(fwd)(params, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_grad_through_halo_matches_dense():
+    """Gradients through the halo-exchange aggregation (all_to_all +
+    scatter) == dense-path gradients, full_deprel flagship mode."""
+    from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.utils.shard_ctx import graph_partition
+
+    cfg = _tiny_part_cfg("full_deprel", "halo")
+    model = GCNClassifier(cfg.model)
+    batch = _part_batch(cfg, "halo")
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, True,
+    )
+    mesh = make_mesh(data=2, model=4)
+
+    def loss_part(p, b):
+        with graph_partition("halo", mesh):
+            lg, _ = model.apply(p, b, True)
+        return jnp.sum(lg ** 2)
+
+    def loss_ref(p, b):
+        lg, _ = model.apply(p, b, True)
+        return jnp.sum(lg ** 2)
+
+    g1 = jax.jit(jax.grad(loss_part))(params, batch)
+    g0 = jax.jit(jax.grad(loss_ref))(params, batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3
+        ),
+        g1, g0,
+    )
+
+
+@pytest.mark.parametrize("mode", ["edges", "halo"])
+def test_trainer_graph_partition_end_to_end(mode):
+    """DistributedTrainer with graph_partition trains end-to-end on the
+    8-device mesh and its loss trajectory + predictions match the plain
+    single-device dense trainer."""
+    from gcn_tpu.train.distributed_trainer import DistributedTrainer
+    from gcn_tpu.train.trainer import Trainer
+
+    cfg_ref = _tiny_part_cfg("regular", "none")
+    cfg = _tiny_part_cfg("regular", mode)
+    cfg.mesh.graph_axis = 4
+    batch = _part_batch(cfg, mode)
+    ref_batch = {k: v for k, v in batch.items()
+                 if not k.startswith("hplan_")}
+
+    t1 = Trainer(cfg_ref, rng_seed=0)
+    t2 = DistributedTrainer(cfg, rng_seed=0)
+    assert dict(t2.mesh.shape) == {"data": 2, "model": 4}
+    for _ in range(3):
+        l1 = t1.update(ref_batch)
+        l2 = t2.update(batch)
+        assert abs(float(l1) - float(l2)) < 1e-4, (float(l1), float(l2))
+    p1, _, loss1 = t1.predict_batch(ref_batch)
+    p2, _, loss2 = t2.predict_batch(batch)
+    assert p1 == p2
+    assert abs(loss1 - loss2) < 1e-4
