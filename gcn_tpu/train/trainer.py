@@ -102,9 +102,24 @@ def device_sum(scalars: list) -> jax.Array:
 
 
 def conv_l2_penalty(params: dict, adj_type: str) -> jax.Array:
-    """Σ‖W‖² over GCN layer weights (reference ``conv_l2``,
-    ``model/gcn.py:180-184`` — defined for the ModuleList modes; extended
-    here to the deprel bilinear weights for completeness)."""
+    """Σ‖W‖² over GCN layer transform weights (reference ``conv_l2``,
+    ``model/gcn.py:180-184``: weight + bias of every ModuleList ``W``).
+
+    Per-mode scope (golden-tested: ``tests/goldens/train_regular_l2.npz``):
+
+    * ``regular`` / ``attention``: the ``gcn_w{l}`` kernels+biases —
+      exactly the reference's ModuleList ``W`` (kernel is the transposed
+      ``W.weight``; identical squared sum).  The attention mode's extra
+      q/k projections are NOT penalized (they are not conv transforms).
+    * ``full_deprel``: the ``gcn_deprel_w{l}/b{l}`` bilinear transforms.
+      This is DEFINED EXTENSION territory: the reference crashes here
+      (its ``self.W`` is a single ``nn.Linear`` and ``conv_l2`` iterates
+      it — TypeError, ``model/gcn.py:166-167`` vs ``:180-184``).
+    * ``diagonal_deprel``: zero — the mode has no conv transform weights
+      (the reference also crashes: no ``self.W`` at all).
+
+    The prefixes are disjoint per mode (regular creates only ``gcn_w*``,
+    full_deprel only ``gcn_deprel_*``), so matching both is exact."""
     total = jnp.zeros(())
     for name, value in params["params"].items():
         if name.startswith("gcn_w") or name.startswith("gcn_deprel_"):

@@ -20,7 +20,7 @@ from gcn_tpu.train.optim import build_optimizer
 from tests.conftest import load_golden
 from tests.test_model_parity import golden_to_batch, golden_to_cfg
 
-CASES = ["train_regular", "train_full_rnn"]
+CASES = ["train_regular", "train_full_rnn", "train_regular_l2"]
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -40,12 +40,27 @@ def test_loss_trajectory_matches_reference(name):
     tx = build_optimizer("adagrad", float(z["lr"]), max_grad_norm=5.0)
     opt_state = tx.init(params)
 
+    conv_l2 = float(opt.get("conv_l2", 0) or 0)
+    pooling_l2 = float(opt.get("pooling_l2", 0) or 0)
+
     def loss_fn(p):
-        logits, _ = model.apply(p, batch, True)
+        logits, pooled = model.apply(p, batch, True)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["labels"]
         )
-        return ce.mean()
+        loss = ce.mean()
+        # the trainer's penalty composition (train.trainer.conv_l2_penalty
+        # scope must equal the reference's conv_l2 = ModuleList W only,
+        # reference model/gcn.py:180-184 + model/trainer.py:96-100)
+        if conv_l2 > 0:
+            from gcn_tpu.train.trainer import conv_l2_penalty
+
+            loss = loss + conv_l2 * conv_l2_penalty(p, cfg.adj_type)
+        if pooling_l2 > 0:
+            import jax.numpy as jnp
+
+            loss = loss + pooling_l2 * jnp.square(pooled).sum(1).mean()
+        return loss
 
     @jax.jit
     def step(p, o):
