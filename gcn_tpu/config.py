@@ -206,6 +206,13 @@ class DataConfig:
     edge_factor: int = 1
     # Batch same-bucket sentences together (padding-waste reduction).
     group_by_length: bool = False
+    # Cross-sentence packing (PackedBatcher): >0 = pack up to this many
+    # sentences per node row; batch_size then counts ROWS, not examples.
+    # Exact per-example math (LSTM carry resets, per-slot heads) — purely
+    # a throughput mode.  0 = off (reference-compatible layout).
+    pack_sentences: int = 0
+    # Packed row length in tokens (0 = the largest length bucket).
+    pack_len: int = 0
 
 
 @dataclass

@@ -103,7 +103,7 @@ class BiLSTM(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, lengths, deterministic: bool):
+    def __call__(self, x, lengths, deterministic: bool, seg_start=None):
         bound = 1.0 / math.sqrt(self.hidden)
         params = []
         in_dim = x.shape[-1]
@@ -140,6 +140,7 @@ class BiLSTM(nn.Module):
             key=key,
             unroll=self.unroll,
             impl=self.impl,
+            seg_start=seg_start,
         )
 
 
@@ -317,7 +318,8 @@ class GCNClassifier(nn.Module):
                 unroll=cfg.rnn_unroll,
                 impl=cfg.rnn_impl,
                 name="rnn",
-            )(h, batch["lengths"], deterministic)
+            )(h, batch["lengths"], deterministic,
+              seg_start=batch.get("seg_start"))
             h = dropout(rng() if not deterministic else None, h,
                         cfg.rnn_dropout, deterministic)
             self.sow("intermediates", "rnn_drop", h)
@@ -539,10 +541,28 @@ class GCNClassifier(nn.Module):
 
         # ------------------------------------------------------------ pooling
         kind = cfg.pooling
-        h_out = pool(h, pool_exclude, kind)
-        subj_out = pool(h, ~batch["subj_mask"], kind)
-        obj_out = pool(h, ~batch["obj_mask"], kind)
-        out = jnp.concatenate([h_out, subj_out, obj_out], axis=1)
+        if "slot_mask" in batch:
+            # cross-sentence-packed rows (data.dataset.PackedBatcher):
+            # several sentences share one node row; every per-example head
+            # quantity is per SLOT.  slot_mask/subj_mask/obj_mask are
+            # [B,S,N] include-masks; labels/example_mask arrive flattened
+            # [B*S] in row-major slot order, so the loss/scorer path is
+            # unchanged downstream.
+            from gcn_tpu.ops.pooling import pool_slots
+
+            slot = batch["slot_mask"]
+            sent_ex = (~slot) | pool_exclude[:, None, :]
+            h_out = pool_slots(h, sent_ex, kind)                 # [B,S,H]
+            subj_out = pool_slots(h, ~batch["subj_mask"], kind)
+            obj_out = pool_slots(h, ~batch["obj_mask"], kind)
+            out = jnp.concatenate([h_out, subj_out, obj_out], axis=2)
+            out = out.reshape(-1, out.shape[-1])                 # [B·S, 3H]
+            h_out = h_out.reshape(-1, h_out.shape[-1])           # [B·S, H]
+        else:
+            h_out = pool(h, pool_exclude, kind)
+            subj_out = pool(h, ~batch["subj_mask"], kind)
+            obj_out = pool(h, ~batch["obj_mask"], kind)
+            out = jnp.concatenate([h_out, subj_out, obj_out], axis=1)
 
         # --------------------------------------------------------- output MLP
         for i in range(cfg.mlp_layers):

@@ -37,8 +37,29 @@ def _reverse_by_length(x: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(valid[:, :, None], gathered, jnp.zeros((), x.dtype))
 
 
+def _segment_resets(seg_start: jax.Array, lengths: jax.Array):
+    """(reset_fwd [B,T], reset_bwd [B,T]) carry-reset masks for
+    cross-sentence-packed rows.
+
+    The forward cell resets where a token STARTS a segment; the backward
+    cell walks the length-reversed row, where the first token it meets of
+    each segment is that segment's LAST token — so its reset mask is the
+    length-reversal of the segment-END mask."""
+    t = seg_start.shape[1]
+    pos = jnp.arange(t)[None, :]
+    valid = pos < lengths[:, None]
+    nxt = jnp.pad(seg_start[:, 1:], ((0, 0), (0, 1)))
+    seg_end = (nxt | (pos == lengths[:, None] - 1)) & valid
+    reset_f = seg_start & valid
+    reset_b = _reverse_by_length(
+        seg_end[:, :, None].astype(jnp.float32), lengths
+    )[:, :, 0] > 0.5
+    return reset_f, reset_b
+
+
 def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
-                         unroll: int = 1):
+                         unroll: int = 1,
+                         seg_start: jax.Array | None = None):
     """Both directions in ONE scan: the forward cell consumes x[t] while the
     backward cell consumes the length-reversed sequence at the same step, so
     the serial chain is T steps total instead of two back-to-back scans.
@@ -46,7 +67,11 @@ def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
     dot_general ([2,B,H] @ [2,H,4H]) — a single MXU dispatch per step
     instead of two small ones.  ``unroll`` unrolls the scan body to cut
     loop overhead on the serial chain.  Returns [B,T,2H] with zeros at
-    padded positions."""
+    padded positions.
+
+    ``seg_start`` ([B,T] bool, first token of each packed segment) zeroes
+    h/c at segment boundaries so a cross-sentence-packed row produces
+    bit-identical outputs to running each sentence in its own row."""
     b, t, _ = x.shape
     fwd, bwd = layer["fwd"], layer["bwd"]
     h_dim = fwd["w_hh"].shape[0]
@@ -59,9 +84,23 @@ def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
     )
     w_hh = jnp.stack((fwd["w_hh"], bwd["w_hh"]))  # [2, H, 4H]
 
+    resets = None
+    if seg_start is not None:
+        reset_f, reset_b = _segment_resets(seg_start, lengths)
+        # [T, 2, B] keep-factor (0 at a segment's first step)
+        resets = 1.0 - jnp.stack(
+            (reset_f.T, reset_b.T), axis=1
+        ).astype(x.dtype)
+
     def step(carry, inp):
         h, c, idx = carry                          # h, c: [2, B, H]
-        gates = inp + jax.lax.dot_general(
+        if resets is None:
+            xs = inp
+        else:
+            xs, keep = inp
+            h = h * keep[:, :, None]
+            c = c * keep[:, :, None]
+        gates = xs + jax.lax.dot_general(
             h, w_hh, (((2,), (1,)), ((0,), (0,)))
         )                                          # [2, B, 4H]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -74,8 +113,9 @@ def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
         return (h, c, idx + 1), y
 
     zeros = jnp.zeros((2, b, h_dim), x.dtype)
+    xs_in = inputs if resets is None else (inputs, resets)
     _, ys = jax.lax.scan(
-        step, (zeros, zeros, jnp.int32(0)), inputs, unroll=unroll
+        step, (zeros, zeros, jnp.int32(0)), xs_in, unroll=unroll
     )                                              # ys: [T, 2, B, H]
     y_f = jnp.swapaxes(ys[:, 0], 0, 1)
     y_b = _reverse_by_length(jnp.swapaxes(ys[:, 1], 0, 1), lengths)
@@ -117,6 +157,7 @@ def bilstm(
     key: jax.Array | None = None,
     unroll: int = 1,
     impl: str = "scan",
+    seg_start: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-layer BiLSTM: params is a list (one per layer) of
     ``{'fwd': {w_ih [D,4H], w_hh [H,4H], b_ih, b_hh}, 'bwd': {...}}``.
@@ -134,12 +175,17 @@ def bilstm(
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl not in ("scan", "pallas"):
         raise ValueError(f"unknown rnn impl: {impl}")
+    if seg_start is not None and impl == "pallas":
+        # the persistent kernel does not model carry resets yet — the
+        # scan path does (bit-identical to per-sentence rows)
+        impl = "scan"
     h = x
     for li, layer in enumerate(params):
         if impl == "pallas":
             h = _bidirectional_pallas(h, lengths, layer)
         else:
-            h = _bidirectional_fused(h, lengths, layer, unroll=unroll)
+            h = _bidirectional_fused(h, lengths, layer, unroll=unroll,
+                                     seg_start=seg_start)
         if li < len(params) - 1 and inter_dropout > 0.0:
             key, sub = jax.random.split(key)
             h = dropout(sub, h, inter_dropout, deterministic)

@@ -34,6 +34,31 @@ def pool(h: jax.Array, exclude_mask: jax.Array, kind: str = "max") -> jax.Array:
     raise ValueError(f"unknown pooling kind: {kind}")
 
 
+def pool_slots(h: jax.Array, exclude_mask: jax.Array,
+               kind: str = "max") -> jax.Array:
+    """Per-slot pooling for cross-sentence-packed rows.
+
+    h: [B,N,H]; exclude_mask: [B,S,N] bool (True = drop) — slot s of row b
+    pools over its own token span.  Returns [B,S,H].  Same semantics as
+    ``pool`` (−1e12 max fill, clamped avg divisor); the [B,S,N,H]
+    broadcast never materializes — XLA fuses the select into the
+    reduction.
+    """
+    m = exclude_mask[:, :, :, None]          # [B,S,N,1]
+    hx = h[:, None, :, :]                    # [B,1,N,H]
+    if kind == "max":
+        filled = jnp.where(m, jnp.asarray(-INFINITY_NUMBER, h.dtype), hx)
+        return jnp.max(filled, axis=2)
+    elif kind == "avg":
+        filled = jnp.where(m, jnp.zeros((), h.dtype), hx)
+        count = jnp.sum(~exclude_mask, axis=2, keepdims=True).astype(h.dtype)
+        return jnp.sum(filled, axis=2) / jnp.maximum(count, 1.0)
+    elif kind == "sum":
+        filled = jnp.where(m, jnp.zeros((), h.dtype), hx)
+        return jnp.sum(filled, axis=2)
+    raise ValueError(f"unknown pooling kind: {kind}")
+
+
 def triple_pool(
     h: jax.Array,
     sent_exclude: jax.Array,

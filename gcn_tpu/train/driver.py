@@ -144,11 +144,30 @@ def run_training(
     )
 
     bs = cfg.train.batch_size
-    train_batcher = Batcher(train_ds, bs, seed=cfg.train.seed,
-                            group_by_length=cfg.data.group_by_length)
-    train_eval_batcher = Batcher(train_ds, bs, evaluation=True)
-    dev_batcher = Batcher(dev_ds, bs, evaluation=True) if dev_ds else None
-    test_batcher = Batcher(test_ds, bs, evaluation=True)
+    if cfg.data.pack_sentences > 0:
+        # cross-sentence packing: several sentences per node row, exact
+        # per-example math (PackedBatcher docstring); batch_size counts
+        # ROWS here
+        from gcn_tpu.data.dataset import PackedBatcher
+
+        def _packed(ds, evaluation):
+            return PackedBatcher(
+                ds, bs, pack_len=cfg.data.pack_len or None,
+                max_slots=cfg.data.pack_sentences,
+                evaluation=evaluation, seed=cfg.train.seed,
+            )
+
+        train_batcher = _packed(train_ds, False)
+        train_eval_batcher = _packed(train_ds, True)
+        dev_batcher = _packed(dev_ds, True) if dev_ds else None
+        test_batcher = _packed(test_ds, True)
+    else:
+        train_batcher = Batcher(train_ds, bs, seed=cfg.train.seed,
+                                group_by_length=cfg.data.group_by_length)
+        train_eval_batcher = Batcher(train_ds, bs, evaluation=True)
+        dev_batcher = (Batcher(dev_ds, bs, evaluation=True)
+                       if dev_ds else None)
+        test_batcher = Batcher(test_ds, bs, evaluation=True)
 
     import jax
 
@@ -273,12 +292,17 @@ def run_training(
         # pre-compile the whole program set with overlapped compile RPCs;
         # threaded warmup is single-process only (pool completion order
         # would diverge across processes and deadlock SPMD dispatch)
+        # train-batcher shapes compile the training programs; dev/test/
+        # train-eval shapes compile ONLY the eval programs (a full train
+        # program for an eval-only shape costs ~1 min at flagship shapes
+        # and is never dispatched)
         reps = train_batcher.warmup_batches()
+        eval_reps = []
         for b in (dev_batcher, test_batcher, train_eval_batcher):
             if b is not None:
-                reps += b.warmup_batches()
+                eval_reps += b.warmup_batches()
         t0 = time.time()
-        stats = trainer.warmup(reps)
+        stats = trainer.warmup(reps, eval_batches=eval_reps)
         print(f"warmup: compiled {stats['programs']} programs in "
               f"{time.time() - t0:.1f}s ({len(reps)} batch shapes)")
 

@@ -620,7 +620,11 @@ class Trainer:
                     )
                     pending.append((cprobs, list(closs), masks))
                 buf.clear()
-                if len(pending) >= max(window // spd, 2):
+                # flush() can append SEVERAL pending chunks (chunk_plan
+                # decomposition of a remainder buffer) — drain until the
+                # live device-output queue is back under its O(window)
+                # bound, not just one pop
+                while len(pending) >= max(window // spd, 2):
                     drain_chunk(pending.pop(0))
 
             for batch in batches:
@@ -656,7 +660,8 @@ class Trainer:
 
     # -------------------------------------------------------------- warmup
     def warmup(self, batches: Iterable[dict], *, include_eval: bool = True,
-               max_workers: int = 4) -> dict:
+               max_workers: int = 4,
+               eval_batches: Iterable[dict] | None = None) -> dict:
         """Pre-compile every program the train/eval loops will need, with
         the compiles running in parallel threads.
 
@@ -676,6 +681,14 @@ class Trainer:
         (params, opt_state, global_step, RNG stream) is untouched and a
         warmed run stays bit-identical to an un-warmed one.
 
+        ``eval_batches`` carries representatives that only ever occur in
+        EVALUATION (dev/test/train-eval batcher shapes): those compile
+        only the eval programs — compiling full training programs (~1
+        min/program at flagship shapes through the remote compile
+        service) for shapes the train loop never sees would cost more
+        than warmup saves.  With ``eval_batches=None`` (legacy), every
+        rep compiles both sets when ``include_eval``.
+
         Call only from a single-process runtime: with ``jax.process_count()
         > 1`` thread-pool completion order would differ across processes
         and deadlock the SPMD executions.  Returns ``{"programs", "seconds"}``.
@@ -683,49 +696,77 @@ class Trainer:
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
-        from gcn_tpu.data.packing import pack_batch
+        def sig_of(b: dict):
+            # the FULL batch signature: today every leaf's shape derives
+            # from (pad_b, n), but that invariant is implicit — keying on
+            # all leaves is cheap and survives a future independently-
+            # padded leaf (e.g. the halo plan arrays)
+            return tuple(sorted(
+                (k, np.shape(v), np.asarray(v).dtype.str)
+                for k, v in b.items()
+            ))
 
+        legacy = eval_batches is None
         reps: dict = {}
         for b in batches:
-            sig = (b["words"].shape, b["words"].dtype.str)
-            reps.setdefault(sig, b)
+            ent = reps.setdefault(
+                sig_of(b), {"batch": b, "train": False, "eval": False}
+            )
+            ent["train"] = True
+            ent["eval"] = ent["eval"] or (legacy and include_eval)
+        for b in (eval_batches or ()):
+            ent = reps.setdefault(
+                sig_of(b), {"batch": b, "train": False, "eval": False}
+            )
+            ent["eval"] = include_eval
 
         key, step = self._key, np.int32(0)
         cap = max(1, int(self.cfg.train.steps_per_dispatch))
         fused = self.cfg.train.update_gap <= 1
         chunked = cap > 1 and fused
+        # evaluate() dispatches _forward_eval_chunk whenever spd > 1 and
+        # packing applies, REGARDLESS of update_gap — gate eval scans on
+        # cap alone (a fused-only gate left them to compile cold at the
+        # first eval when effective_batch_size > batch_size)
+        chunked_eval = cap > 1
         scan_sizes = [s for s in allowed_chunk_sizes(cap) if s > 1]
 
         tasks = []
-        for b in reps.values():
+        for ent in reps.values():
+            b = ent["batch"]
             packed = self._maybe_pack(b)
-            if fused:
-                if packed is not None:
-                    tasks.append(lambda p=packed: self._fused_step_packed(
-                        _zeros_like_tree(self.params),
-                        _zeros_like_tree(self.opt_state), p, key, step))
+            if ent["train"]:
+                if fused:
+                    if packed is not None:
+                        tasks.append(
+                            lambda p=packed: self._fused_step_packed(
+                                _zeros_like_tree(self.params),
+                                _zeros_like_tree(self.opt_state),
+                                p, key, step))
+                    else:
+                        tasks.append(lambda bb=b: self._fused_step(
+                            _zeros_like_tree(self.params),
+                            _zeros_like_tree(self.opt_state), bb, key,
+                            step))
+                elif packed is not None:
+                    tasks.append(
+                        lambda p=packed: self._loss_and_grads_packed(
+                            self.params, p, key, step))
                 else:
-                    tasks.append(lambda bb=b: self._fused_step(
-                        _zeros_like_tree(self.params),
-                        _zeros_like_tree(self.opt_state), bb, key, step))
-            elif packed is not None:
-                tasks.append(lambda p=packed: self._loss_and_grads_packed(
-                    self.params, p, key, step))
-            else:
-                tasks.append(lambda bb=b: self._loss_and_grads(
-                    self.params, bb, key, step))
-            if chunked and packed is not None:
-                for s in scan_sizes:
-                    stack = np.stack([np.asarray(packed)] * s)
-                    tasks.append(lambda st=stack: self._chunk_step(
-                        _zeros_like_tree(self.params),
-                        _zeros_like_tree(self.opt_state),
-                        self._place_stack(st), key, step))
-            if include_eval:
+                    tasks.append(lambda bb=b: self._loss_and_grads(
+                        self.params, bb, key, step))
+                if chunked and packed is not None:
+                    for s in scan_sizes:
+                        stack = np.stack([np.asarray(packed)] * s)
+                        tasks.append(lambda st=stack: self._chunk_step(
+                            _zeros_like_tree(self.params),
+                            _zeros_like_tree(self.opt_state),
+                            self._place_stack(st), key, step))
+            if ent["eval"]:
                 if packed is not None:
                     tasks.append(lambda p=packed: self._forward_eval_packed(
                         self.params, p))
-                    if chunked:
+                    if chunked_eval:
                         for s in scan_sizes:
                             stack = np.stack([np.asarray(packed)] * s)
                             tasks.append(

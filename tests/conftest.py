@@ -19,6 +19,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache shared across test runs/workers: the
+# suite is compile-bound on small CPUs (hundreds of distinct programs), and
+# a warm cache cuts `make test` wall time by a large factor.  Keyed by
+# config+HLO, so stale entries are never wrongly reused; delete the
+# directory to force cold compiles.
+_CACHE_DIR = os.environ.get(
+    "GCN_TPU_TEST_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+if _CACHE_DIR:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
