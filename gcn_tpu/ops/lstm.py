@@ -122,10 +122,12 @@ def _bidirectional_fused(x: jax.Array, lengths: jax.Array, layer: dict,
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 
-def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict):
+def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict,
+                          seg_start: jax.Array | None = None):
     """Same contract as ``_bidirectional_fused`` but the time loop runs as
     a persistent Pallas kernel (``ops.pallas.lstm_scan``): h/c never leave
-    VMEM, w_hh stays resident, full-BPTT backward kernel."""
+    VMEM, w_hh stays resident, full-BPTT backward kernel.  ``seg_start``
+    routes the packed-row carry resets into the kernel's keep mask."""
     from gcn_tpu.ops.pallas.lstm_scan import lstm_scan_stacked
 
     b, t, _ = x.shape
@@ -138,7 +140,13 @@ def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict):
     # both directions stacked on the group axis: ONE T-step kernel grid
     xp = jnp.stack([xp_f, xp_b], axis=1)                # [T, 2, B, 4H]
     w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]])        # [2, H, 4H]
-    hs = lstm_scan_stacked(xp, lengths, w_hh)           # [T, 2, B, H]
+    keep = None
+    if seg_start is not None:
+        reset_f, reset_b = _segment_resets(seg_start, lengths)
+        keep = 1.0 - jnp.stack(
+            (reset_f.T, reset_b.T), axis=1
+        ).astype(jnp.float32)                           # [T, 2, B]
+    hs = lstm_scan_stacked(xp, lengths, w_hh, keep=keep)  # [T, 2, B, H]
     # frozen-carry states -> packed-output convention (zeros past length)
     valid = (jnp.arange(t)[None, :] < lengths[:, None])[:, :, None]
     y_f = jnp.where(valid, jnp.swapaxes(hs[:, 0], 0, 1), 0.0)
@@ -175,14 +183,11 @@ def bilstm(
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl not in ("scan", "pallas"):
         raise ValueError(f"unknown rnn impl: {impl}")
-    if seg_start is not None and impl == "pallas":
-        # the persistent kernel does not model carry resets yet — the
-        # scan path does (bit-identical to per-sentence rows)
-        impl = "scan"
     h = x
     for li, layer in enumerate(params):
         if impl == "pallas":
-            h = _bidirectional_pallas(h, lengths, layer)
+            h = _bidirectional_pallas(h, lengths, layer,
+                                      seg_start=seg_start)
         else:
             h = _bidirectional_fused(h, lengths, layer, unroll=unroll,
                                      seg_start=seg_start)

@@ -173,3 +173,47 @@ def test_packed_training_step_runs():
     p, r, f1 = score(eval_pb.gold(), [id2label[x] for x in preds],
                      negative_label="no_relation")
     assert 0.0 <= f1 <= 1.0
+
+
+def test_pallas_lstm_segment_reset_matches_scan():
+    """The persistent-kernel keep-mask reset (interpret mode on CPU) must
+    match the scan path's segment resets — forward AND gradients."""
+    from gcn_tpu.ops.lstm import bilstm
+
+    rng = np.random.RandomState(1)
+    h_dim, d, b, t = 8, 6, 3, 12
+
+    def p(shape):
+        return jnp.asarray(rng.randn(*shape) * 0.3, jnp.float32)
+
+    layer = {
+        dr: {"w_ih": p((d, 4 * h_dim)), "w_hh": p((h_dim, 4 * h_dim)),
+             "b_ih": p((4 * h_dim,)), "b_hh": p((4 * h_dim,))}
+        for dr in ("fwd", "bwd")
+    }
+    x = jnp.asarray(rng.randn(b, t, d), jnp.float32)
+    lengths = jnp.asarray([12, 9, 5], jnp.int32)
+    seg = np.zeros((b, t), bool)
+    seg[0, [0, 4, 7]] = True
+    seg[1, [0, 3]] = True
+    seg[2, 0] = True
+    seg = jnp.asarray(seg)
+
+    def run(impl):
+        def f(params):
+            out = bilstm([params], x, lengths, impl=impl, seg_start=seg)
+            return jnp.sum(out ** 2), out
+
+        (loss, out), grads = jax.value_and_grad(f, has_aux=True)(layer)
+        return out, grads
+
+    out_s, g_s = run("scan")
+    out_p, g_p = run("pallas")  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               atol=1e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4
+        ),
+        g_p, g_s,
+    )
