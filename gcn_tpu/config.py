@@ -156,9 +156,13 @@ class TrainConfig:
     # ms/step cheaper than threefry at flagship shapes, still deterministic
     # per seed), threefry elsewhere.  "threefry" forces the JAX default.
     prng_impl: str = "auto"
-    # pack each host batch into ONE int32 buffer for transfer (13 leaf
+    # pack each host batch into ONE buffer for transfer (13 leaf
     # transfers otherwise, each a network round trip on a tunneled TPU)
     pack_transfers: bool = True
+    # wire format of the packed buffer: "compact" = natural-width uint8
+    # layout (~2.75x fewer bytes; data/packing.py), "int32" = legacy
+    # 4-bytes-per-value layout.  Lossless either way.
+    pack_format: str = "compact"
     # >1: scan k same-bucket packed batches per dispatch (one transfer +
     # one program per k optimizer steps; bit-identical to per-step runs)
     steps_per_dispatch: int = 1

@@ -61,7 +61,10 @@ def pack_batch(batch: dict) -> np.ndarray:
 
 
 def unpack_batch(packed, has_ner: bool) -> dict:
-    """Jittable inverse of ``pack_batch`` (exact dtypes restored)."""
+    """Jittable inverse of the packers (exact dtypes restored).  Routes on
+    the buffer dtype: uint8 = compact wire format, int32 = legacy."""
+    if packed.dtype == np.uint8:
+        return unpack_batch_compact(packed, has_ner)
     fields = field_order(has_ner)
     n = (packed.shape[1] - 3) // len(fields)
     batch = {}
@@ -72,4 +75,204 @@ def unpack_batch(packed, has_ner: bool) -> dict:
     batch["lengths"] = packed[:, base]
     batch["labels"] = packed[:, base + 1]
     batch["example_mask"] = packed[:, base + 2].astype(bool)
+    return batch
+
+
+# --------------------------------------------------------- compact (uint8)
+# v2 wire format: the int32 layout spends 4 bytes on every value, but most
+# fields are tiny (POS < 48, NER < 15, deprel ids < 85, masks are bits,
+# edge indices < pack_len).  Packing to their natural widths cuts the
+# buffer ~2.75x (flagship batch: 212 KB -> 77 KB), which is wall-clock on
+# any bandwidth-limited feed (the tunneled chip moves ~1 GB/s: 0.22 ms vs
+# 0.08 ms per step).  Lossless: dtypes/values restore exactly; the
+# device-side byte reassembly is a few shifts the compiler fuses into the
+# consumers.  Per-row layout (n tokens):
+#   words 4n (int32 LE) | pos n | (ner n) | deprel n | edge_parent 2n
+#   (uint16 LE) | edge_child 2n | edge_deprel n | 4 masks n each
+#   | lengths 4 (int32 LE) | labels 4 | example_mask 1
+
+_BYTE_FIELDS = ("pos", "ner", "deprel", "edge_deprel")  # values < 256
+_U16_FIELDS = ("edge_parent", "edge_child")             # values < 65536
+
+
+def _compact_width(n: int, has_ner: bool) -> int:
+    return (16 if has_ner else 15) * n + 9
+
+
+def pack_batch_compact(batch: dict) -> np.ndarray:
+    has_ner = "ner" in batch
+    words = np.ascontiguousarray(batch["words"], "<i4")
+    b, n = words.shape
+    buf = np.empty((b, _compact_width(n, has_ner)), np.uint8)
+    col = 0
+
+    def put(raw: np.ndarray) -> None:
+        nonlocal col
+        w = raw.shape[1] * raw.dtype.itemsize
+        buf[:, col:col + w] = raw.view(np.uint8).reshape(b, w)
+        col += w
+
+    put(words)
+    for f in _BYTE_FIELDS:
+        if f == "ner" and not has_ner:
+            continue
+        a = np.asarray(batch[f])
+        assert a.max(initial=0) < 256, f"{f} overflows the byte layout"
+        put(np.ascontiguousarray(a, np.uint8))
+    for f in _U16_FIELDS:
+        a = np.asarray(batch[f])
+        assert a.max(initial=0) < 65536, f"{f} overflows uint16"
+        put(np.ascontiguousarray(a, "<u2"))
+    for f in _MASK_FIELDS:
+        put(np.ascontiguousarray(batch[f], np.uint8))
+    put(np.ascontiguousarray(batch["lengths"], "<i4")[:, None])
+    put(np.ascontiguousarray(batch["labels"], "<i4")[:, None])
+    put(np.ascontiguousarray(batch["example_mask"], np.uint8)[:, None])
+    assert col == buf.shape[1]
+    return buf
+
+
+# ------------------------------------------- sentence-packed batches (v2p)
+# The cross-sentence packing layout (``data.dataset.PackedBatcher``) adds
+# [B,S,N] per-slot masks and [B·S] labels, which the plain packers above
+# don't model — without a wire format those batches fall back to ~16
+# per-leaf transfers (each a round trip on a tunneled chip) and the
+# padding-waste win packing buys is given straight back to the network.
+# Layout per row (n tokens, s slots; bools bit-packed along n):
+#   words 4n | pos n | (ner n) | deprel n | edge_deprel n
+#   | edge_parent 2n | edge_child 2n | edge_mask n | pad_mask n
+#   | seg_start n | slot/subj/obj masks s*ceil(n/8) each
+#   | lengths 4 | labels 4s | example_mask s
+
+_SP_TOKEN_FIELDS = ("pos", "ner", "deprel", "edge_deprel")
+_SP_BYTE_MASKS = ("edge_mask", "pad_mask", "seg_start")
+_SP_BIT_MASKS = ("slot_mask", "subj_mask", "obj_mask")
+
+
+def sentence_packable(batch: dict) -> bool:
+    """True for a PackedBatcher batch (integer ids, [B,S,N] slot masks)
+    with no side-band plan arrays (halo plans ride extra keys)."""
+    if "slot_mask" not in batch or not isinstance(
+            batch.get("words"), np.ndarray):
+        return False
+    if any(k.startswith("hplan_") for k in batch):
+        return False
+    return batch["words"].ndim == 2
+
+
+def sp_width(n: int, s: int, has_ner: bool) -> int:
+    return ((15 if has_ner else 14) * n
+            + 3 * s * ((n + 7) // 8) + 5 * s + 4)
+
+
+def pack_sentence_batch(batch: dict) -> np.ndarray:
+    has_ner = "ner" in batch
+    words = np.ascontiguousarray(batch["words"], "<i4")
+    b, n = words.shape
+    s = batch["slot_mask"].shape[1]
+    buf = np.empty((b, sp_width(n, s, has_ner)), np.uint8)
+    col = 0
+
+    def put(raw: np.ndarray) -> None:
+        nonlocal col
+        raw = raw.reshape(b, -1)
+        w = raw.shape[1] * raw.dtype.itemsize
+        buf[:, col:col + w] = raw.view(np.uint8).reshape(b, w)
+        col += w
+
+    put(words)
+    for f in _SP_TOKEN_FIELDS:
+        if f == "ner" and not has_ner:
+            continue
+        a = np.asarray(batch[f])
+        assert a.max(initial=0) < 256, f"{f} overflows the byte layout"
+        put(np.ascontiguousarray(a, np.uint8))
+    for f in _U16_FIELDS:
+        a = np.asarray(batch[f])
+        assert a.max(initial=0) < 65536, f"{f} overflows uint16"
+        put(np.ascontiguousarray(a, "<u2"))
+    for f in _SP_BYTE_MASKS:
+        put(np.ascontiguousarray(batch[f], np.uint8))
+    for f in _SP_BIT_MASKS:
+        put(np.packbits(np.asarray(batch[f], bool), axis=-1))
+    put(np.ascontiguousarray(batch["lengths"], "<i4")[:, None])
+    put(np.ascontiguousarray(batch["labels"], "<i4").reshape(b, s))
+    put(np.ascontiguousarray(batch["example_mask"], np.uint8)
+        .reshape(b, s))
+    assert col == buf.shape[1]
+    return buf
+
+
+def _unbits(by, s: int, n: int):
+    # [B, s*ceil(n/8)] uint8 -> [B, s, n] bool (np.packbits bit order)
+    cn8 = (n + 7) // 8
+    b3 = by.reshape(by.shape[0], s, cn8, 1)
+    shifts = np.arange(7, -1, -1, dtype=np.uint8)  # big-endian bits
+    bits = (b3 >> shifts) & 1
+    return bits.reshape(by.shape[0], s, cn8 * 8)[:, :, :n].astype(bool)
+
+
+def unpack_sentence_batch(packed, n: int, s: int, has_ner: bool) -> dict:
+    """Jittable inverse of ``pack_sentence_batch`` (n, s static)."""
+    batch = {}
+    col = 0
+
+    def take(w):
+        nonlocal col
+        sl = packed[:, col:col + w]
+        col += w
+        return sl
+
+    batch["words"] = _le32(take(4 * n))
+    for f in _SP_TOKEN_FIELDS:
+        if f == "ner" and not has_ner:
+            continue
+        batch[f] = take(n).astype("int32")
+    for f in _U16_FIELDS:
+        batch[f] = _le16(take(2 * n))
+    for f in _SP_BYTE_MASKS:
+        batch[f] = take(n).astype(bool)
+    for f in _SP_BIT_MASKS:
+        batch[f] = _unbits(take(s * ((n + 7) // 8)), s, n)
+    batch["lengths"] = _le32(take(4))[:, 0]
+    batch["labels"] = _le32(take(4 * s)).reshape(-1)
+    batch["example_mask"] = take(s).reshape(-1).astype(bool)
+    return batch
+
+
+def _le32(by):  # [B, 4k] uint8 -> [B, k] int32 (little-endian)
+    b4 = by.reshape(by.shape[0], -1, 4).astype("int32")
+    return b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16) | (
+        b4[..., 3] << 24)
+
+
+def _le16(by):  # [B, 2k] uint8 -> [B, k] int32
+    b2 = by.reshape(by.shape[0], -1, 2).astype("int32")
+    return b2[..., 0] | (b2[..., 1] << 8)
+
+
+def unpack_batch_compact(packed, has_ner: bool) -> dict:
+    """Jittable inverse of ``pack_batch_compact``."""
+    n = (packed.shape[1] - 9) // (16 if has_ner else 15)
+    batch = {}
+    col = 0
+
+    def take(w):
+        nonlocal col
+        s = packed[:, col:col + w]
+        col += w
+        return s
+
+    batch["words"] = _le32(take(4 * n))
+    for f in _BYTE_FIELDS:
+        if f == "ner" and not has_ner:
+            continue
+        batch[f] = take(n).astype("int32")
+    for f in _U16_FIELDS:
+        batch[f] = _le16(take(2 * n))
+    for f in _MASK_FIELDS:
+        batch[f] = take(n).astype(bool)
+    batch["lengths"] = _le32(take(4))[:, 0]
+    batch["labels"] = _le32(take(4))[:, 0]
+    batch["example_mask"] = take(1)[:, 0].astype(bool)
     return batch

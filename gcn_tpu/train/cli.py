@@ -157,6 +157,12 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                         "host->device transfer (13 leaf transfers "
                         "otherwise - each one a network round trip on a "
                         "tunneled TPU; measured ~4.3 ms/batch).")
+    p.add_argument("--pack_format", choices=["compact", "int32"],
+                   default="compact",
+                   help="Wire format for packed transfers: compact = "
+                        "natural-width uint8 layout (~2.75x fewer bytes "
+                        "on the wire), int32 = legacy layout. Lossless "
+                        "either way.")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="Scan k same-bucket batches per dispatch (one "
                         "transfer + one program per k optimizer steps; "
@@ -262,6 +268,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
 
     t.prng_impl = args.prng_impl
     t.pack_transfers = args.pack_transfers
+    t.pack_format = args.pack_format
     t.steps_per_dispatch = args.steps_per_dispatch
     t.warmup_compile = args.warmup_compile
     t.sparse_emb_grad = args.sparse_emb_grad

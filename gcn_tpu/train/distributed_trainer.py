@@ -109,12 +109,19 @@ class DistributedTrainer(Trainer):
         # ONE sharded placement for the whole batch instead of 13 per-leaf
         # scatters; GSPMD propagates the data sharding through the unpack
         # slices (they only touch the column axis)
-        packed = super()._maybe_pack(batch)
-        if packed is None:
+        if not self._can_pack(batch):
             return None
         return jax.device_put(
-            packed, NamedSharding(self.mesh, P("data", None))
+            self._pack_host(batch),
+            NamedSharding(self.mesh, P("data", None)),
         )
+
+    def _can_pack_sentence(self, batch: dict) -> bool:
+        # the sentence-packed wire format is a single-device host->device
+        # transfer optimization; mesh runs keep the per-leaf sharded
+        # placement (_place_batch) whose slot-mask leaves already carry
+        # explicit shardings
+        return False
 
     def _place_stack(self, stack):
         return jax.device_put(
@@ -171,10 +178,9 @@ class MultiHostTrainer(DistributedTrainer):
         # transfer (one buffer per process instead of 13 leaves)
         if not self._can_pack(batch):
             return None
-        from gcn_tpu.data.packing import pack_batch
-
         return jax.make_array_from_process_local_data(
-            NamedSharding(self.mesh, P("data", None)), pack_batch(batch)
+            NamedSharding(self.mesh, P("data", None)),
+            self._pack_host(batch),
         )
 
     def _place_stack(self, stack):

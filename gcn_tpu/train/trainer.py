@@ -367,6 +367,34 @@ class Trainer:
             params, opt_state, self._unpack(packed), key, step
         )
 
+    # --- sentence-packed (PackedBatcher) wire format: [B,S,N] slot masks
+    # and [B·S] labels don't fit the plain packers, so these twins carry
+    # the static (n, s) geometry for data.packing.unpack_sentence_batch.
+    def _unpack_sp(self, packed, n: int, s: int):
+        from gcn_tpu.data.packing import unpack_sentence_batch
+
+        return unpack_sentence_batch(
+            packed, n, s, self.cfg.model.dataset == "tacred"
+        )
+
+    @partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(1, 2))
+    def _fused_step_spacked(self, params, opt_state, packed, key, step,
+                            n, s):
+        return self._step_core(
+            params, opt_state, self._unpack_sp(packed, n, s), key, step
+        )
+
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def _loss_and_grads_spacked(self, params, packed, key, step, n, s):
+        batch = self._unpack_sp(packed, n, s)
+        return jax.value_and_grad(
+            lambda p: self._loss(p, batch, key, step)
+        )(params)
+
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _forward_eval_spacked(self, params, packed, n, s):
+        return self._eval_core(params, self._unpack_sp(packed, n, s))
+
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _chunk_step(self, params, opt_state, stack, key, step0):
         """k fused optimizer steps as ONE program: ``lax.scan`` over a
@@ -396,8 +424,6 @@ class Trainer:
         Returns per-step device losses.  Requires ``update_gap == 1``;
         falls back to per-batch ``update`` otherwise or when packing
         does not apply."""
-        from gcn_tpu.data.packing import pack_batch
-
         if (len(batches) < 2 or self.cfg.train.update_gap > 1
                 or self._accum is not None
                 or not all(self._can_pack(b) for b in batches)
@@ -419,7 +445,7 @@ class Trainer:
                 losses.append(self.update(sub[0]))
                 continue
             stack = self._place_stack(
-                np.stack([pack_batch(b) for b in sub])
+                np.stack([self._pack_host(b) for b in sub])
             )
             step0 = np.int32(self.global_step)
             self.global_step += size
@@ -472,20 +498,47 @@ class Trainer:
 
         return self._pack and packable(batch)
 
+    def _pack_host(self, batch: dict):
+        """Host-side packing in the configured wire format
+        (``train.pack_format``: compact uint8 vs legacy int32)."""
+        from gcn_tpu.data.packing import pack_batch, pack_batch_compact
+
+        if self.cfg.train.pack_format == "compact":
+            return pack_batch_compact(batch)
+        return pack_batch(batch)
+
     def _maybe_pack(self, batch: dict):
-        """(packed_or_none) — pack eligible host batches into one buffer.
+        """(packed_or_none) — pack eligible host batches into one buffer
+        and START its host->device transfer (``device_put`` is async, so
+        the copy overlaps the jit dispatch and earlier steps' compute
+        instead of running inside the dispatch critical path).
         ``DistributedTrainer`` overrides this to place the packed buffer
         sharded over the data axis."""
         if not self._can_pack(batch):
             return None
-        from gcn_tpu.data.packing import pack_batch
+        return jax.device_put(self._pack_host(batch))
 
-        return pack_batch(batch)
+    def _can_pack_sentence(self, batch: dict) -> bool:
+        from gcn_tpu.data.packing import sentence_packable
+
+        return self._pack and sentence_packable(batch)
+
+    def _maybe_pack_sentence(self, batch: dict):
+        """(buf, n, s) for a PackedBatcher batch, or None.  The mesh
+        trainers opt out (their leaf placement already runs device-side;
+        the wire format is a host->device transfer optimization)."""
+        if not self._can_pack_sentence(batch):
+            return None
+        from gcn_tpu.data.packing import pack_sentence_batch
+
+        n = batch["words"].shape[1]
+        s = batch["slot_mask"].shape[1]
+        return jax.device_put(pack_sentence_batch(batch)), n, s
 
     def _place_stack(self, stack):
         """Placement hook for [k, B, C] packed stacks (chunk dispatch);
         the mesh trainer shards the batch axis over ``data``."""
-        return stack
+        return jax.device_put(stack)
 
     def update(self, batch: dict):
         """Forward+backward; steps the optimizer every ``update_gap``
@@ -493,11 +546,17 @@ class Trainer:
         step = np.int32(self.global_step)  # dynamic scalar: no retrace
         self.global_step += 1
         packed = self._maybe_pack(batch)
+        sp = None if packed is not None else self._maybe_pack_sentence(batch)
         if self.cfg.train.update_gap <= 1 and self._accum is None:
             # every batch is an optimizer step: one fused program
             if packed is not None:
                 self.params, self.opt_state, loss = self._fused_step_packed(
                     self.params, self.opt_state, packed, self._key, step
+                )
+            elif sp is not None:
+                buf, n, s = sp
+                self.params, self.opt_state, loss = self._fused_step_spacked(
+                    self.params, self.opt_state, buf, self._key, step, n, s
                 )
             else:
                 self.params, self.opt_state, loss = self._fused_step(
@@ -507,6 +566,11 @@ class Trainer:
         if packed is not None:
             loss, grads = self._loss_and_grads_packed(
                 self.params, packed, self._key, step
+            )
+        elif sp is not None:
+            buf, n, s = sp
+            loss, grads = self._loss_and_grads_spacked(
+                self.params, buf, self._key, step, n, s
             )
         else:
             loss, grads = self._loss_and_grads(self.params, batch,
@@ -538,6 +602,10 @@ class Trainer:
         packed = self._maybe_pack(batch)
         if packed is not None:
             return self._forward_eval_packed(self.params, packed)
+        sp = self._maybe_pack_sentence(batch)
+        if sp is not None:
+            buf, n, s = sp
+            return self._forward_eval_spacked(self.params, buf, n, s)
         return self._forward_eval(self.params, batch)
 
     def predict_batch(self, batch: dict):
@@ -584,8 +652,6 @@ class Trainer:
         if spd > 1 and self._pack:
             # chunked: one transfer + one program per spd batches; each
             # pending item carries a whole chunk's results
-            from gcn_tpu.data.packing import pack_batch
-
             buf: list[dict] = []
 
             def drain_chunk(chunk):
@@ -611,7 +677,7 @@ class Trainer:
                         pending.append((probs[None], [loss], masks))
                         continue
                     stack = self._place_stack(
-                        np.stack([pack_batch(b) for b in sub])
+                        np.stack([self._pack_host(b) for b in sub])
                     )
                     # NB: do not name this `losses` — it would shadow the
                     # outer accumulator that drain() appends to
@@ -735,6 +801,7 @@ class Trainer:
         for ent in reps.values():
             b = ent["batch"]
             packed = self._maybe_pack(b)
+            sp = None if packed is not None else self._maybe_pack_sentence(b)
             if ent["train"]:
                 if fused:
                     if packed is not None:
@@ -743,6 +810,12 @@ class Trainer:
                                 _zeros_like_tree(self.params),
                                 _zeros_like_tree(self.opt_state),
                                 p, key, step))
+                    elif sp is not None:
+                        tasks.append(
+                            lambda t=sp: self._fused_step_spacked(
+                                _zeros_like_tree(self.params),
+                                _zeros_like_tree(self.opt_state),
+                                t[0], key, step, t[1], t[2]))
                     else:
                         tasks.append(lambda bb=b: self._fused_step(
                             _zeros_like_tree(self.params),
@@ -752,6 +825,10 @@ class Trainer:
                     tasks.append(
                         lambda p=packed: self._loss_and_grads_packed(
                             self.params, p, key, step))
+                elif sp is not None:
+                    tasks.append(
+                        lambda t=sp: self._loss_and_grads_spacked(
+                            self.params, t[0], key, step, t[1], t[2]))
                 else:
                     tasks.append(lambda bb=b: self._loss_and_grads(
                         self.params, bb, key, step))
@@ -772,6 +849,9 @@ class Trainer:
                             tasks.append(
                                 lambda st=stack: self._forward_eval_chunk(
                                     self.params, self._place_stack(st)))
+                elif sp is not None:
+                    tasks.append(lambda t=sp: self._forward_eval_spacked(
+                        self.params, t[0], t[1], t[2]))
                 else:
                     tasks.append(lambda bb=b: self._forward_eval(
                         self.params, bb))
