@@ -31,21 +31,30 @@ def parse_args():
     p.add_argument("--wv_dim", type=int, default=300)
     p.add_argument("--min_freq", type=int, default=0)
     p.add_argument("--lower", action="store_true")
+    p.add_argument("--dataset", choices=["tacred", "semeval"],
+                   default="tacred",
+                   help="semeval: train/test splits only (no dev) and "
+                        "entity spans KEPT in the vocabulary — the "
+                        "SemEval loader never anonymizes entities "
+                        "(reference data/semeval_loader.py:52-55), so "
+                        "their tokens need embeddings")
     return p.parse_args()
 
 
-def load_tokens(filename):
-    """Corpus tokens with entity spans removed
-    (reference ``prepare_vocab.py:73-85``)."""
+def load_tokens(filename, mask_entities=True):
+    """Corpus tokens, with entity spans removed when ``mask_entities``
+    (reference ``prepare_vocab.py:73-85``; TACRED anonymizes entities at
+    load time so their surface forms must stay out of the vocab)."""
     with open(filename) as f:
         data = json.load(f)
     tokens = []
     for d in data:
         ts = list(d["token"])
-        ss, se = d["subj_start"], d["subj_end"]
-        os_, oe = d["obj_start"], d["obj_end"]
-        ts[ss : se + 1] = [constants.PAD_TOKEN] * (se - ss + 1)
-        ts[os_ : oe + 1] = [constants.PAD_TOKEN] * (oe - os_ + 1)
+        if mask_entities:
+            ss, se = d["subj_start"], d["subj_end"]
+            os_, oe = d["obj_start"], d["obj_end"]
+            ts[ss : se + 1] = [constants.PAD_TOKEN] * (se - ss + 1)
+            ts[os_ : oe + 1] = [constants.PAD_TOKEN] * (oe - os_ + 1)
         tokens += [t for t in ts if t != constants.PAD_TOKEN]
     print(f"{len(tokens)} tokens from {len(data)} examples loaded from "
           f"{filename}.")
@@ -89,9 +98,12 @@ def main():
     wv_file = f"{args.glove_dir}/{args.wv_file}"
 
     print("loading files...")
+    names = (("train", "test") if args.dataset == "semeval"
+             else ("train", "dev", "test"))
     splits = {
-        name: load_tokens(f"{args.data_dir}/{name}.json")
-        for name in ("train", "dev", "test")
+        name: load_tokens(f"{args.data_dir}/{name}.json",
+                          mask_entities=args.dataset == "tacred")
+        for name in names
     }
     if args.lower:
         splits = {k: [t.lower() for t in v] for k, v in splits.items()}

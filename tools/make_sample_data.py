@@ -132,6 +132,74 @@ def make_learnable_example(rng, i, dataset="tacred"):
     return ex
 
 
+def make_hard_example(rng, i, dataset="tacred"):
+    """NON-SATURATED variant of the learnable task: structured so neither
+    framework can reach F1 1.0, which makes cross-framework quality deltas
+    measurable *off the ceiling* (two frameworks agreeing at 1.0 on a
+    solvable task is weak evidence they'd agree at 0.65 on TACRED — this
+    is the committed answer to that gap).
+
+    Difficulty knobs (all deterministic given the seed):
+
+    * 16 active relations (vs 8), as 8 TRIGGER PAIRS: relations 2k and
+      2k+1 share the same trigger token and are disambiguated only by the
+      subject entity type (PERSON vs ORGANIZATION) — a second feature the
+      model must conjoin with the trigger.
+    * trigger dropout: 25% of positives carry NO trigger (irreducible —
+      the label is unpredictable; the Bayes-optimal policy calls them
+      negative), capping recall ≈ 0.75.
+    * decoy triggers: 40% of ALL examples get a random OTHER relation's
+      trigger attached as a leaf of a random non-path token (dist > K
+      from the subj-obj path ~half the time) — bag-of-words shortcuts
+      mispredict these; tree structure (pruning keeps only path-adjacent
+      triggers) resolves most.
+    * label noise: 8% of examples get their gold label resampled
+      uniformly from the active set, capping precision.
+
+    Measured operating point (both frameworks, learnable-protocol
+    hyperparameters, n_train=1200, 30 epochs): dev F1 ≈ 0.6-0.8 —
+    inside the 0.6-0.9 target band, far from both the 1.0 ceiling and
+    the 0.0 floor, so systematic regularization/optimizer/pruning gaps
+    between the frameworks would move the number.
+    """
+    C = constants if dataset == "tacred" else constants_semeval
+    ex = make_example(rng, i, dataset)
+    labels = [l for l in C.LABEL_TO_ID if l != C.NEGATIVE_LABEL][:16]
+    pairs = len(labels) // 2
+    dep_tags = [t for t in list(constants.DEPREL_TO_ID)[2:42]]
+
+    def attach_leaf(token, head_1idx):
+        ex["token"].append(token)
+        ex["stanford_head"].append(str(head_1idx))
+        ex["stanford_pos"].append("NN")
+        if "stanford_ner" in ex:
+            ex["stanford_ner"].append("O")
+        ex["stanford_deprel"].append(dep_tags[rng.randint(len(dep_tags))])
+
+    neg = rng.rand() < 0.25
+    if neg:
+        ex["relation"] = C.NEGATIVE_LABEL
+    else:
+        pair = rng.randint(pairs)
+        variant = rng.randint(2)  # disambiguated by subj entity type
+        rel = labels[2 * pair + variant]
+        ex["relation"] = rel
+        if dataset == "tacred":
+            ex["subj_type"] = "PERSON" if variant == 0 else "ORGANIZATION"
+        if rng.rand() >= 0.25:  # trigger dropout: 25% of positives blind
+            attach_leaf(f"trgpair{pair}", ex["obj_start"] + 1)
+    if rng.rand() < 0.40:  # decoy: another pair's trigger off-path
+        attach_leaf(f"trgpair{rng.randint(pairs)}",
+                    rng.randint(len(ex["token"])) + 1)
+    if rng.rand() < 0.08:  # label noise
+        ex["relation"] = labels[rng.randint(len(labels))]
+    return ex
+
+
+def hard_trigger_words():
+    return [f"trgpair{k}" for k in range(8)]
+
+
 def learnable_trigger_words(dataset="tacred"):
     C = constants if dataset == "tacred" else constants_semeval
     return [
@@ -151,18 +219,29 @@ def main():
     p.add_argument("--out", default="dataset")
     p.add_argument("--n", type=int, default=40)
     p.add_argument("--emb_dim", type=int, default=300)
-    p.add_argument("--task", choices=["random", "learnable"],
+    p.add_argument("--task", choices=["random", "learnable", "hard"],
                    default="random",
                    help="random = arbitrary labels (smoke data; held-out "
                         "F1 is noise); learnable = relation predictable "
                         "from a trigger token + entity types, so dev/test "
-                        "F1 measures generalization")
+                        "F1 measures generalization; hard = non-saturated "
+                        "variant (shared triggers, trigger dropout, "
+                        "decoys, label noise) landing at F1 0.6-0.8 so "
+                        "cross-framework deltas are measurable off the "
+                        "ceiling (tacred only)")
+    p.add_argument("--seed", type=int, default=1234)
     args = p.parse_args()
-    rng = np.random.RandomState(1234)
-    gen = (make_learnable_example if args.task == "learnable"
-           else make_example)
+    rng = np.random.RandomState(args.seed)
+    gen = {"learnable": make_learnable_example,
+           "hard": make_hard_example,
+           "random": make_example}[args.task]
 
-    for dataset, subdir in (("tacred", "tacred"), ("semeval", "semeval")):
+    targets = (("tacred", "tacred"), ("semeval", "semeval"))
+    if args.task == "hard":
+        # the pair disambiguation rides the subject entity type, which
+        # only the TACRED schema carries (SemEval has no NER/entity types)
+        targets = (("tacred", "tacred"),)
+    for dataset, subdir in targets:
         d = os.path.join(args.out, subdir)
         os.makedirs(d, exist_ok=True)
         splits = (
@@ -177,9 +256,12 @@ def main():
         print(f"{dataset}: wrote {[s for s, _ in splits]} to {d}")
 
     # vocab + random embeddings covering the synthetic corpus
-    extra = (sorted(set(learnable_trigger_words("tacred")
-                        + learnable_trigger_words("semeval")))
-             if args.task == "learnable" else [])
+    extra = []
+    if args.task == "learnable":
+        extra = sorted(set(learnable_trigger_words("tacred")
+                           + learnable_trigger_words("semeval")))
+    elif args.task == "hard":
+        extra = hard_trigger_words()
     vocab = constants.VOCAB_PREFIX + entity_masks() + sorted(WORDS) + extra
     for name in ("vocab", "vocab_semeval"):
         vd = os.path.join(args.out, name)

@@ -81,7 +81,7 @@ def read_log(path):
 
 
 def common_flags(args, workdir):
-    if args.data_mode == "learnable":
+    if args.data_mode in ("learnable", "hard"):
         # the generalization protocol: real held-out splits, the
         # hyperparameters measured to solve the 8-class trigger task
         # (adagrad, no plateau decay, regularization off).  lr 0.2, NOT
@@ -130,15 +130,17 @@ def stage_data(workdir, args=None):
     data = os.path.join(workdir, "data")
     if os.path.isdir(data):
         return data
-    if args is not None and args.data_mode == "learnable":
-        # generate a solvable task with REAL held-out splits: relation =
-        # f(trigger token attached to the object, subject entity type);
-        # dev/test F1 measures generalization, not memorization
+    if args is not None and args.data_mode in ("learnable", "hard"):
+        # learnable: solvable task with REAL held-out splits (relation =
+        # f(trigger token attached to the object, subject entity type));
+        # hard: non-saturated variant (shared triggers, trigger dropout,
+        # decoys, label noise) that lands at F1 ~0.6-0.8 so the
+        # cross-framework delta is measured OFF the ceiling
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools",
                                           "make_sample_data.py"),
              "--out", workdir, "--n", str(args.n_train),
-             "--task", "learnable"],
+             "--task", args.data_mode],
             capture_output=True, text=True, timeout=600,
         )
         assert out.returncode == 0, out.stderr[-2000:]
@@ -233,12 +235,16 @@ def main():
     p.add_argument("--no_dropout", action="store_true",
                    help="disable all stochastic regularization (isolates "
                         "optimization dynamics from noise semantics)")
-    p.add_argument("--data_mode", choices=["memorize", "learnable"],
+    p.add_argument("--data_mode",
+                   choices=["memorize", "learnable", "hard"],
                    default="memorize",
                    help="memorize = the checked-in random-label sample "
                         "(dev aliases train; measures optimization); "
                         "learnable = generated trigger task with real "
-                        "held-out splits (measures generalization)")
+                        "held-out splits (measures generalization); "
+                        "hard = non-saturated variant converging to "
+                        "F1 0.6-0.8 in both frameworks, so the delta is "
+                        "measured off the ceiling (tacred only)")
     p.add_argument("--dataset", choices=["tacred", "semeval"],
                    default="tacred",
                    help="semeval runs the SemEval-2010 Task 8 pipeline "
@@ -255,6 +261,9 @@ def main():
     args = p.parse_args()
     if args.dataset == "semeval" and args.data_mode != "learnable":
         p.error("--dataset semeval requires --data_mode learnable")
+    if args.data_mode == "hard" and args.dataset != "tacred":
+        p.error("--data_mode hard is tacred-only (pair disambiguation "
+                "rides the subject entity type)")
 
     deltas = []
     for seed in [int(s) for s in args.seeds.split(",")]:
