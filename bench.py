@@ -255,8 +255,33 @@ def main() -> None:
         cfg.model.compute_dtype = dtype
         batch = g._synthetic_batch(cfg, b=b, n=n)
         dt, edges, fl = bench_train_step(cfg, batch, label)
-        results[label] = (dt, edges)
+        results[label] = (dt, edges, fl)
         flops = flops or fl
+
+    # Sentence-packed flagship (PackedBatcher layout): same [rows, N]
+    # program geometry but rows carry ~2.4x the sentences of the
+    # one-per-row layout on a TACRED-like length distribution (mean ~36
+    # vs the 96 bucket) — the padding-waste reclaim, plus a chip-filling
+    # row sweep.  Edge counts are REAL edges (more sentences per
+    # program), so edges/s compares directly with the rows above.
+    packed_mfu = None
+    for rows, slots, label in (
+        ((8, 1, "unpacked_realistic"), (8, 2, "packed_b8")) if tiny
+        else ((50, 1, "unpacked_realistic"), (50, 8, "packed_b50"))
+    ):
+        # slots=1 = the same TACRED-like corpus (mean sentence ~36
+        # tokens) laid out one sentence per 96-token row — the layout
+        # the reference is stuck with (dense [B,N,N] is one sentence
+        # per row by construction).  The packed/unpacked edges-per-sec
+        # ratio is the corpus-throughput win packing buys.
+        cfg = g._flagship_cfg(tiny=tiny)
+        cfg.model.compute_dtype = "bfloat16"
+        pb = g._synthetic_packed_batch(cfg, rows=rows, n=n, s=slots)
+        dt, edges, fl = bench_train_step(cfg, pb, label)
+        results[label] = (dt, edges, fl)
+        if fl and slots > 1:
+            packed_mfu = max(packed_mfu or 0.0,
+                             round(fl / dt / chip_peak(), 3))
 
     # the PRODUCT path (Trainer.update as the CLI drives it) — must stay
     # within noise of the fastest hand-built variant
@@ -265,7 +290,7 @@ def main() -> None:
     api_batch = g._synthetic_batch(cfg, b=b, n=n)
     api_dt, api_edges, api_tr = bench_trainer_api(cfg, api_batch,
                                                   "trainer_api")
-    results["trainer_api"] = (api_dt, api_edges)
+    results["trainer_api"] = (api_dt, api_edges, None)
 
     # sustained wall-clock product loop (fresh host arrays per batch:
     # packing + transfer + dispatch all count; ends on a blocking fetch)
@@ -294,11 +319,40 @@ def main() -> None:
         cfg, g._synthetic_batch(cfg, b=b, n=n), "bf16"
     )
 
-    # headline = the fastest measured configuration; all are reported
-    label = min(results, key=lambda k: results[k][0])
-    dt, edges = results[label]
+    # large-forest row (BASELINE configs[4] single-chip leg): one GCN
+    # layer fwd+bwd over a 65k-node synthetic forest in its measured-best
+    # layout — short packed rows + dense banded matmul (the full sweep
+    # incl. the block-dense Pallas kernel and the O(E) edge-list path is
+    # tools/large_forest_bench.py; dense-at-N=128 won every round, so the
+    # fused SpMM stays retired for throughput and the edge-list path
+    # covers the giant-row/memory regime).
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "tools"))
+    import large_forest_bench as _lf
+
+    lf_total, lf_n = (512, 64) if tiny else (65536, 128)
+    lf_par, lf_ch, lf_mask = _lf.forest_rows(lf_total, lf_n)
+    lf_b = lf_total // lf_n
+    lf_edges = int(np.asarray(lf_mask).sum())
+    lf_key = jax.random.key(0)
+    lf_h = jax.random.normal(lf_key, (lf_b, lf_n, 256), jnp.bfloat16)
+    lf_w = jax.random.normal(lf_key, (256, 256), jnp.bfloat16) * 0.05
+    lf_bias = jnp.zeros((256,), jnp.bfloat16)
+    lf_dt = _lf.bench_backend(
+        "dense", _lf.dense_layer, lf_par, lf_ch, lf_mask,
+        lf_h, lf_w, lf_bias, lf_edges, tiny=tiny,
+    )
+
+    # headline = the highest measured corpus throughput (edges/s); all
+    # configurations are reported.  (min-dt would mis-rank the packed
+    # rows, whose programs carry more real edges at similar step time.)
+    label = max(results, key=lambda k: results[k][1] / results[k][0])
+    dt, edges, hl_flops = results[label]
     value = edges / dt
-    mfu = round(flops / dt / chip_peak(), 3) if flops else None
+    hl_flops = hl_flops or flops
+    mfu = round(hl_flops / dt / chip_peak(), 3) if hl_flops else None
     if mfu is not None and mfu > 1.0:
         timing_suspect = True
 
@@ -307,9 +361,18 @@ def main() -> None:
         for k, v in results.items()
     }
     rates["eval_sentences_per_sec"] = round(eval_b / eval_dt, 1)
+    if packed_mfu is not None:
+        rates["packed_mfu_vs_cost_analysis"] = packed_mfu
+    if "packed_b50" in results and "unpacked_realistic" in results:
+        pr, ur = results["packed_b50"], results["unpacked_realistic"]
+        rates["packing_corpus_speedup"] = round(
+            (pr[1] / pr[0]) / (ur[1] / ur[0]), 2)
     rates["sustained_loop_edges_per_sec"] = round(loop_edges / loop_dt, 1)
     rates["sustained_loop_spd8_edges_per_sec"] = round(
         loop8_edges / loop8_dt, 1)
+    if lf_dt:
+        rates["large_forest_layer_edges_per_sec"] = round(
+            lf_edges / lf_dt, 1)
     print(json.dumps({
         "metric": "cgcn_train_step_edges_per_sec",
         "value": round(value, 1),
