@@ -33,6 +33,15 @@ if _CACHE_DIR:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # export to the environment so SUBPROCESS tests (CLI round-trips,
+    # elastic kill/resume, 2-process multihost) inherit the cache — they
+    # were the slowest suite entries because every child recompiled its
+    # programs cold (test_drivers' partition-vs-DP test alone was 62 s)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "0.5")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                          "-1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

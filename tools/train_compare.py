@@ -99,14 +99,26 @@ def common_flags(args, workdir):
             "--optim", "adagrad", "--lr", "0.2",
             "--decay_epoch", str(args.num_epoch + 1),
             "--prune_k", "1",
-            "--hidden_dim", "64", "--no-rnn",
             "--num_layers", "2",
-            "--adj_type", "regular",
-            "--input_dropout", "0", "--gcn_dropout", "0",
-            "--word_dropout", "0",
             "--seed", str(args.seed),
             "--cpu",
         ]
+        if args.arch == "cgcn":
+            # the flagship stack: BiLSTM contextualization + full_deprel
+            # aggregation + the reference's default dropout settings —
+            # exercises the recurrent front-end, the deprel bilinear and
+            # all stochastic regularizers in BOTH frameworks (dropout
+            # masks can't match across frameworks, so per-seed deltas are
+            # noisier; judge the multi-seed mean)
+            flags += ["--hidden_dim", "64", "--rnn_hidden", "32",
+                      "--adj_type", "full_deprel",
+                      "--deprel_emb_dim", "16",
+                      "--word_dropout", "0.04"]
+        else:
+            flags += ["--hidden_dim", "64", "--no-rnn",
+                      "--adj_type", "regular",
+                      "--input_dropout", "0", "--gcn_dropout", "0",
+                      "--word_dropout", "0"]
         return flags
     flags = [
         "--vocab_dir", os.path.join(REPO, "dataset", "vocab"),
@@ -251,6 +263,12 @@ def main():
                         "(train_semeval.py in both frameworks: no dev "
                         "split, best model on TRAIN F1, "
                         "test-at-best-train); learnable mode only")
+    p.add_argument("--arch", choices=["gcn", "cgcn"], default="gcn",
+                   help="learnable/hard model stack: gcn = 2-layer GCN, "
+                        "no RNN, regularization off (isolates "
+                        "optimization); cgcn = flagship BiLSTM + "
+                        "full_deprel + default dropout (exercises the "
+                        "whole stack; noisier per-seed)")
     p.add_argument("--n_train", type=int, default=1200,
                    help="learnable mode: training examples (dev/test get "
                         "half each); 1200 x 40 epochs converges to ~0.93 "
