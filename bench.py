@@ -258,6 +258,16 @@ def main() -> None:
         results[label] = (dt, edges, fl)
         flops = flops or fl
 
+    # the attention aggregation mode (new surface vs the reference) —
+    # edge-softmax over deprel-gated scores through the Pallas SDDMM
+    # (the one sentence-scale kernel that beats XLA, 2.6x)
+    cfg = g._flagship_cfg(tiny=tiny)
+    cfg.model.adj_type = "attention"
+    cfg.model.compute_dtype = "bfloat16"
+    batch = g._synthetic_batch(cfg, b=b, n=n)
+    dt, edges, fl = bench_train_step(cfg, batch, "attention_bf16")
+    results["attention_bf16"] = (dt, edges, fl)
+
     # Sentence-packed flagship (PackedBatcher layout): same [rows, N]
     # program geometry but rows carry ~2.4x the sentences of the
     # one-per-row layout on a TACRED-like length distribution (mean ~36
@@ -312,11 +322,18 @@ def main() -> None:
         repeats=2 if tiny else 3,
     )
 
-    # inference throughput (serving path) — diagnostic record on stderr
+    # inference throughput (serving path) — diagnostic record on stderr;
+    # the packed row is the same corpus packed ~2x denser (serving gets
+    # the same padding-waste reclaim as training)
     cfg = g._flagship_cfg(tiny=tiny)
     cfg.model.compute_dtype = "bfloat16"
     eval_dt, eval_b = bench_eval_step(
         cfg, g._synthetic_batch(cfg, b=b, n=n), "bf16"
+    )
+    evalp_dt, evalp_b = bench_eval_step(
+        cfg, g._synthetic_packed_batch(cfg, rows=b, n=n,
+                                       s=2 if tiny else 8),
+        "packed_bf16",
     )
 
     # large-forest row (BASELINE configs[4] single-chip leg): one GCN
@@ -361,6 +378,7 @@ def main() -> None:
         for k, v in results.items()
     }
     rates["eval_sentences_per_sec"] = round(eval_b / eval_dt, 1)
+    rates["eval_packed_sentences_per_sec"] = round(evalp_b / evalp_dt, 1)
     if packed_mfu is not None:
         rates["packed_mfu_vs_cost_analysis"] = packed_mfu
     if "packed_b50" in results and "unpacked_realistic" in results:
