@@ -100,7 +100,11 @@ class DistributedTrainer(Trainer):
         return placed
 
     def _divisible(self, batch: dict) -> bool:
-        return batch["labels"].shape[0] % self.mesh.shape["data"] == 0
+        # the row axis being sharded is the WORDS batch axis — for
+        # sentence-packed batches labels are [B·S] (divisible whenever B
+        # is, but not vice versa: B=2,S=2 over a 4-way data axis would
+        # pass a labels-based check and then fail placing words [2, N])
+        return batch["words"].shape[0] % self.mesh.shape["data"] == 0
 
     def _can_pack(self, batch: dict) -> bool:
         return super()._can_pack(batch) and self._divisible(batch)
