@@ -33,10 +33,18 @@ _SCALAR_FIELDS = ("lengths", "labels")  # + example_mask (bool)
 
 
 def packable(batch: dict) -> bool:
-    """True when the batch is the integer-id layout (not BERT floats) on
-    host numpy arrays, with every per-token field sharing one width."""
+    """True when the batch is EXACTLY the integer-id layout (not BERT
+    floats) on host numpy arrays, with every per-token field sharing one
+    width.  Exact-key check: a batch carrying side-band arrays (e.g. the
+    halo ``hplan_*`` plans) must NOT pack — ``pack_batch`` would silently
+    drop the extra keys and the consumer would fail only via a late
+    missing-key trace error."""
     w = batch["words"]
     if not isinstance(w, np.ndarray) or w.ndim != 2 or w.dtype == np.float32:
+        return False
+    expected = set(field_order("ner" in batch)) | set(_SCALAR_FIELDS) | {
+        "example_mask"}
+    if set(batch) != expected:
         return False
     n = w.shape[1]
     return all(

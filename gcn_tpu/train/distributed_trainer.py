@@ -132,6 +132,11 @@ class DistributedTrainer(Trainer):
             stack, NamedSharding(self.mesh, P(None, "data", None))
         )
 
+    def _place_raw(self, batch: dict) -> dict:
+        if self._divisible(batch):
+            return self._place_batch(batch)
+        return batch
+
     def update(self, batch: dict):
         if not self._can_pack(batch) and self._divisible(batch):
             batch = self._place_batch(batch)

@@ -145,6 +145,13 @@ def run_training(
 
     bs = cfg.train.batch_size
     if cfg.data.pack_sentences > 0:
+        if cfg.model.use_bert_embeddings:
+            raise ValueError(
+                "--pack_sentences does not support BERT embedding inputs"
+                " (float [L,D] word vectors; PackedBatcher packs integer"
+                " token ids) — use --pack_sentences 0 with"
+                " --use_bert_embeddings"
+            )
         # cross-sentence packing: several sentences per node row, exact
         # per-example math (PackedBatcher docstring); batch_size counts
         # ROWS here

@@ -228,10 +228,10 @@ class Trainer:
         # trace-time context so the model routes its aggregation through
         # parallel.edge_partition / parallel.halo
         self._partition_mesh = None
-        if cfg.model.graph_partition == "halo":
-            # halo plans ride the batch dict as extra arrays that the
-            # packed single-buffer layout doesn't model
-            self._pack = False
+        # (halo-mode batches carry hplan_* side-band arrays; the strict
+        # exact-key check in data.packing.packable rejects those, so no
+        # blanket opt-out is needed — a run where halo is configured but
+        # inactive, e.g. model axis 1, keeps the single-buffer transfer)
 
     def _set_sparse_emb(self, flag: bool) -> None:
         """Flip the row-sparse embedding mode BEFORE any step has traced
@@ -540,6 +540,14 @@ class Trainer:
         the mesh trainer shards the batch axis over ``data``."""
         return jax.device_put(stack)
 
+    def _place_raw(self, batch: dict) -> dict:
+        """Placement hook for UNPACKED batch dicts.  Identity here; the
+        mesh trainer commits every leaf to its sharding — warmup must
+        compile against the same input shardings the real step will see
+        (jit keys on them; a default-sharded warmup executable would
+        never be reused and the first real step would recompile cold)."""
+        return batch
+
     def update(self, batch: dict):
         """Forward+backward; steps the optimizer every ``update_gap``
         accumulated batches (reference ``train.py:209-227``)."""
@@ -637,6 +645,7 @@ class Trainer:
         all_probs: list[list[float]] = []
         losses: list = []  # device scalars; ONE fetch at the end
         n = 0
+        self._saw_packed_eval = False
 
         def drain(item):
             nonlocal n
@@ -694,6 +703,7 @@ class Trainer:
                     drain_chunk(pending.pop(0))
 
             for batch in batches:
+                self._saw_packed_eval |= "slot_mask" in batch
                 if not self._can_pack(batch):
                     flush()
                     probs, loss = self._eval_forward(batch)
@@ -712,6 +722,7 @@ class Trainer:
                 drain_chunk(chunk)
         else:
             for batch in batches:
+                self._saw_packed_eval |= "slot_mask" in batch
                 probs, loss = self._eval_forward(batch)
                 pending.append(
                     (probs, loss, np.asarray(batch["example_mask"]))
@@ -721,7 +732,15 @@ class Trainer:
             for item in pending:
                 drain(item)
         total_loss = float(device_sum(losses)) if losses else 0.0
-        avg = total_loss / max(n, 1) * self.cfg.train.batch_size
+        if self._saw_packed_eval:
+            # sentence-packed batchers: cfg batch_size counts ROWS, so
+            # the reference formula below would deflate the logged loss
+            # by the pack factor; the exact mean of batch means (which
+            # that formula approximates) keeps loss curves comparable
+            # across the packing flag
+            avg = total_loss / max(len(losses), 1)
+        else:
+            avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
 
     # -------------------------------------------------------------- warmup
@@ -817,10 +836,11 @@ class Trainer:
                                 _zeros_like_tree(self.opt_state),
                                 t[0], key, step, t[1], t[2]))
                     else:
-                        tasks.append(lambda bb=b: self._fused_step(
-                            _zeros_like_tree(self.params),
-                            _zeros_like_tree(self.opt_state), bb, key,
-                            step))
+                        tasks.append(
+                            lambda bb=self._place_raw(b): self._fused_step(
+                                _zeros_like_tree(self.params),
+                                _zeros_like_tree(self.opt_state), bb, key,
+                                step))
                 elif packed is not None:
                     tasks.append(
                         lambda p=packed: self._loss_and_grads_packed(
@@ -830,8 +850,9 @@ class Trainer:
                         lambda t=sp: self._loss_and_grads_spacked(
                             self.params, t[0], key, step, t[1], t[2]))
                 else:
-                    tasks.append(lambda bb=b: self._loss_and_grads(
-                        self.params, bb, key, step))
+                    tasks.append(
+                        lambda bb=self._place_raw(b): self._loss_and_grads(
+                            self.params, bb, key, step))
                 if chunked and packed is not None:
                     for s in scan_sizes:
                         stack = np.stack([np.asarray(packed)] * s)
@@ -853,8 +874,9 @@ class Trainer:
                     tasks.append(lambda t=sp: self._forward_eval_spacked(
                         self.params, t[0], t[1], t[2]))
                 else:
-                    tasks.append(lambda bb=b: self._forward_eval(
-                        self.params, bb))
+                    tasks.append(
+                        lambda bb=self._place_raw(b): self._forward_eval(
+                            self.params, bb))
         if not fused:
             # the accumulation path's shape-independent programs
             tasks.append(lambda: self._accum_add(
