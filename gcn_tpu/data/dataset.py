@@ -192,7 +192,45 @@ class RelationDataset:
         return len(self.examples)
 
 
-class Batcher:
+class _BatcherBase:
+    """Iteration/caching/scoring surface shared by ``Batcher`` and
+    ``PackedBatcher`` (both expose: ``chunks``, ``gold_labels``,
+    ``evaluation``, ``halo_devices``, ``_cache``, ``materialize``)."""
+
+    def gold(self) -> list[str]:
+        """Gold labels in iteration order (reference ``data/loader.py:74-76``)."""
+        return self.gold_labels
+
+    def __len__(self) -> int:
+        return len(self.chunks)
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        if not self.evaluation:
+            # training batches re-sample word->UNK dropout every epoch
+            # (reference data/loader.py:97-100) — never cached
+            for chunk in self.chunks:
+                yield self.materialize(chunk)
+        elif self._cache is not None:
+            yield from self._cache
+        else:
+            cache = []
+            for chunk in self.chunks:
+                batch = self.materialize(chunk)
+                cache.append(batch)
+                yield batch
+            self._cache = cache
+
+    def _attach_halo(self, batch: dict, n: int) -> dict:
+        # graph_partition=halo: carry static-shape exchange plans for a
+        # `model` axis of halo_devices shards (set by the driver)
+        if self.halo_devices > 1:
+            from gcn_tpu.parallel.halo import attach_halo_plans
+
+            batch = attach_halo_plans(batch, n, self.halo_devices)
+        return batch
+
+
+class Batcher(_BatcherBase):
     """Chunk a dataset into static-shape padded batches.
 
     Training order follows the reference: shuffle once at construction, then
@@ -254,10 +292,6 @@ class Batcher:
         # padding loop is on par with the device forward itself
         self._cache: Optional[list] = None
 
-    def gold(self) -> list[str]:
-        """Gold labels in iteration order (reference ``data/loader.py:74-76``)."""
-        return self.gold_labels
-
     def warmup_batches(self) -> list[dict]:
         """One representative batch per distinct compiled batch shape.
 
@@ -285,9 +319,6 @@ class Batcher:
         finally:
             self.rng = saved_rng
         return reps
-
-    def __len__(self) -> int:
-        return len(self.chunks)
 
     def _bucket_len(self, max_len: int) -> int:
         for b in self.length_buckets:
@@ -369,30 +400,10 @@ class Batcher:
         }
         if self.ds.dataset == "tacred":
             batch["ner"] = ner
-        if self.halo_devices > 1:
-            from gcn_tpu.parallel.halo import attach_halo_plans
-
-            batch = attach_halo_plans(batch, n, self.halo_devices)
-        return batch
-
-    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
-        if not self.evaluation:
-            # training batches re-sample word->UNK dropout every epoch
-            # (reference data/loader.py:97-100) — never cached
-            for chunk in self.chunks:
-                yield self.materialize(chunk)
-        elif self._cache is not None:
-            yield from self._cache
-        else:
-            cache = []
-            for chunk in self.chunks:
-                batch = self.materialize(chunk)
-                cache.append(batch)
-                yield batch
-            self._cache = cache
+        return self._attach_halo(batch, n)
 
 
-class PackedBatcher:
+class PackedBatcher(_BatcherBase):
     """Cross-sentence packing: several sentences share one node row.
 
     The padded-row layout wastes most of the MXU on short sentences (mean
@@ -466,12 +477,6 @@ class PackedBatcher:
         self.batch_size = rows_per_batch  # rows, not examples
         self.halo_devices = 0
         self._cache: Optional[list] = None
-
-    def gold(self) -> list[str]:
-        return self.gold_labels
-
-    def __len__(self) -> int:
-        return len(self.chunks)
 
     def warmup_batches(self) -> list[dict]:
         if not self.chunks:
@@ -561,22 +566,4 @@ class PackedBatcher:
         }
         if self.ds.dataset == "tacred":
             batch["ner"] = ner
-        if self.halo_devices > 1:
-            from gcn_tpu.parallel.halo import attach_halo_plans
-
-            batch = attach_halo_plans(batch, n, self.halo_devices)
-        return batch
-
-    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
-        if not self.evaluation:
-            for chunk in self.chunks:
-                yield self.materialize(chunk)
-        elif self._cache is not None:
-            yield from self._cache
-        else:
-            cache = []
-            for chunk in self.chunks:
-                batch = self.materialize(chunk)
-                cache.append(batch)
-                yield batch
-            self._cache = cache
+        return self._attach_halo(batch, n)
