@@ -113,6 +113,76 @@ def bench_train_step(cfg, batch, label: str):
     return dt, edges, flops
 
 
+def bench_pair(builds, k1=10, k2=30, repeats=5):
+    """Slope-time SEVERAL prepared step-chains with their (k1, k2)
+    samples interleaved round-robin ACROSS the variants, so the shared
+    chip's minutes-scale load swings hit every variant equally and
+    RATIOS between them are trustworthy (a sequentially-benched pair can
+    disagree 2x purely from the window it landed in).  ``builds`` maps
+    label -> chain(k) (executes k steps, ends on a blocking fetch).
+    Returns {label: seconds_per_step}."""
+    from gcn_tpu.utils.timing import timeit
+
+    t1 = {k: [] for k in builds}
+    t2 = {k: [] for k in builds}
+    for _ in range(repeats):
+        for lbl, chain in builds.items():
+            t1[lbl].append(timeit(chain, k1))
+        for lbl, chain in builds.items():
+            t2[lbl].append(timeit(chain, k2))
+    out = {}
+    for lbl in builds:
+        a, b = min(t1[lbl]), min(t2[lbl])
+        out[lbl] = (b - a) / (k2 - k1) if b > a else b / k2
+    return out
+
+
+def prepare_train_chain(cfg, batch):
+    """Compiled fused-step chain over a fixed batch (the bench_train_step
+    program), returned as ``(chain, edges, flops)`` without timing it."""
+    from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.parallel.train_step import make_loss_fn
+    from gcn_tpu.train.optim import build_optimizer
+
+    model = GCNClassifier(cfg.model)
+    params = jax.jit(lambda r, bb: model.init(r, bb, True))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch
+    )
+    jax.block_until_ready(params)
+    tx = build_optimizer(cfg.train.optim, cfg.train.lr,
+                         max_grad_norm=cfg.train.max_grad_norm,
+                         topn=cfg.model.topn)
+    opt_state = tx.init(params)
+    loss_fn = make_loss_fn(model, cfg)
+    key = jax.random.key(2)
+
+    @jax.jit
+    def full_step(p, o, b, k):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b, k)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    flops = None
+    try:
+        ca = full_step.lower(params, opt_state, batch, key).compile(
+        ).cost_analysis()
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    red = jax.jit(lambda p: jnp.sum(p["params"]["classifier"]["bias"]))
+    st = {"p": params, "o": opt_state}
+    for _ in range(3):
+        st["p"], st["o"], _ = full_step(st["p"], st["o"], batch, key)
+    float(red(st["p"]))
+
+    def chain(k):
+        for _ in range(k):
+            st["p"], st["o"], _ = full_step(st["p"], st["o"], batch, key)
+        float(red(st["p"]))
+
+    return chain, int(np.asarray(batch["edge_mask"]).sum()), flops
+
+
 def bench_trainer_api(cfg, batch, label: str):
     """The PRODUCT training path — ``Trainer.update`` exactly as the CLI
     drives it (fused step, in-program RNG fold).  Guards against
@@ -274,24 +344,37 @@ def main() -> None:
     # vs the 96 bucket) — the padding-waste reclaim, plus a chip-filling
     # row sweep.  Edge counts are REAL edges (more sentences per
     # program), so edges/s compares directly with the rows above.
+    # slots=1 = the same TACRED-like corpus (mean sentence ~36 tokens)
+    # laid out one sentence per 96-token row — the layout the reference
+    # is stuck with (dense [B,N,N] is one sentence per row by
+    # construction).  The packed/unpacked edges-per-sec ratio is the
+    # corpus-throughput win packing buys.  The two programs are timed
+    # with INTERLEAVED samples (bench_pair): sequential measurement let
+    # the shared chip's load swings fake the ratio in either direction.
     packed_mfu = None
-    for rows, slots, label in (
-        ((8, 1, "unpacked_realistic"), (8, 2, "packed_b8")) if tiny
-        else ((50, 1, "unpacked_realistic"), (50, 8, "packed_b50"))
-    ):
-        # slots=1 = the same TACRED-like corpus (mean sentence ~36
-        # tokens) laid out one sentence per 96-token row — the layout
-        # the reference is stuck with (dense [B,N,N] is one sentence
-        # per row by construction).  The packed/unpacked edges-per-sec
-        # ratio is the corpus-throughput win packing buys.
+    pair = {}
+    rows = 8 if tiny else 50
+    for slots, label in ((1, "unpacked_realistic"),
+                         (2 if tiny else 8, "packed")):
         cfg = g._flagship_cfg(tiny=tiny)
         cfg.model.compute_dtype = "bfloat16"
         pb = g._synthetic_packed_batch(cfg, rows=rows, n=n, s=slots)
-        dt, edges, fl = bench_train_step(cfg, pb, label)
+        pair[label] = prepare_train_chain(cfg, pb)
+    dts = bench_pair(
+        {k: v[0] for k, v in pair.items()},
+        **({"k1": 2, "k2": 4, "repeats": 2} if tiny else {}),
+    )
+    for label, (chain, edges, fl) in pair.items():
+        dt = dts[label]
         results[label] = (dt, edges, fl)
-        if fl and slots > 1:
-            packed_mfu = max(packed_mfu or 0.0,
-                             round(fl / dt / chip_peak(), 3))
+        rec = {"record": f"train_step:{label}",
+               "ms_per_step": round(dt * 1e3, 3),
+               "edges_per_sec": round(edges / dt, 1)}
+        if fl:
+            rec["mfu_vs_cost_analysis"] = round(fl / dt / chip_peak(), 3)
+            if label == "packed":
+                packed_mfu = rec["mfu_vs_cost_analysis"]
+        diag(**rec)
 
     # the PRODUCT path (Trainer.update as the CLI drives it) — must stay
     # within noise of the fastest hand-built variant
@@ -381,8 +464,8 @@ def main() -> None:
     rates["eval_packed_sentences_per_sec"] = round(evalp_b / evalp_dt, 1)
     if packed_mfu is not None:
         rates["packed_mfu_vs_cost_analysis"] = packed_mfu
-    if "packed_b50" in results and "unpacked_realistic" in results:
-        pr, ur = results["packed_b50"], results["unpacked_realistic"]
+    if "packed" in results and "unpacked_realistic" in results:
+        pr, ur = results["packed"], results["unpacked_realistic"]
         rates["packing_corpus_speedup"] = round(
             (pr[1] / pr[0]) / (ur[1] / ur[0]), 2)
     rates["sustained_loop_edges_per_sec"] = round(loop_edges / loop_dt, 1)
