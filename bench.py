@@ -295,6 +295,19 @@ def bench_eval_step(cfg, batch, label: str):
 
 
 def main() -> None:
+    import os
+
+    # persistent XLA compile cache: the remote TPU compile service costs
+    # ~1 min/program cold (much more when the 2-core host is loaded);
+    # the cache is keyed by config+HLO so stale reuse is impossible
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_tpu_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import __graft_entry__ as g
 
     tiny = "--tiny" in sys.argv  # CPU smoke mode for tests
