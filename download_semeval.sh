@@ -13,7 +13,13 @@ mkdir -p "$DEST"
 cd "$DEST"
 
 # The task data is distributed via the task organizers' Google Docs link;
-# these GitHub mirrors carry the identical files and are curl-able.
+# this GitHub mirror carries the same files and is curl-able.  TRUST
+# ASSUMPTION: the mirror is an unofficial third party — the sentence-count
+# check below catches truncation but not content tampering, and tampered
+# text would flow straight into the F1 quality gate.  On first successful
+# fetch, pin the printed sha256 sums via SEMEVAL_TRAIN_SHA256 /
+# SEMEVAL_TEST_SHA256 (env) so later fetches fail closed on any change;
+# or diff against the organizers' official distribution.
 BASE="https://raw.githubusercontent.com/sahitya0000/Relation-Classification/master/corpus/SemEval2010_task8_all_data"
 
 curl -fL --retry 3 -o TRAIN_FILE.TXT \
@@ -22,6 +28,15 @@ curl -fL --retry 3 -o TEST_FILE_FULL.TXT \
   "$BASE/SemEval2010_task8_testing_keys/TEST_FILE_FULL.TXT"
 
 wc -l TRAIN_FILE.TXT TEST_FILE_FULL.TXT
+sha256sum TRAIN_FILE.TXT TEST_FILE_FULL.TXT
+
+check_sha() {  # check_sha FILE EXPECTED_SHA (skip when unpinned)
+  [ -z "$2" ] && return 0
+  echo "$2  $1" | sha256sum -c - || {
+    echo "FATAL: $1 does not match the pinned sha256 — mirror changed"; exit 1; }
+}
+check_sha TRAIN_FILE.TXT "${SEMEVAL_TRAIN_SHA256:-}"
+check_sha TEST_FILE_FULL.TXT "${SEMEVAL_TEST_SHA256:-}"
 # sanity: 8000 train + 2717 test sentences (4 lines each in the format)
 python3 - <<'EOF'
 for name, want in (("TRAIN_FILE.TXT", 8000), ("TEST_FILE_FULL.TXT", 2717)):

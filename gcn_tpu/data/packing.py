@@ -103,6 +103,18 @@ _BYTE_FIELDS = ("pos", "ner", "deprel", "edge_deprel")  # values < 256
 _U16_FIELDS = ("edge_parent", "edge_child")             # values < 65536
 
 
+def _check_range(a: np.ndarray, field: str, hi: int) -> np.ndarray:
+    """Guard the narrow wire widths with real exceptions: an assert is
+    stripped under ``python -O``, and a negative value (e.g. a future -1
+    pad) would silently wrap through uint8/uint16 and corrupt training
+    data rather than fail."""
+    if a.size and (a.min() < 0 or a.max() >= hi):
+        raise ValueError(
+            f"{field} range [{a.min()}, {a.max()}] does not fit the "
+            f"[0, {hi}) wire width")
+    return a
+
+
 def _compact_width(n: int, has_ner: bool) -> int:
     return (16 if has_ner else 15) * n + 9
 
@@ -124,12 +136,10 @@ def pack_batch_compact(batch: dict) -> np.ndarray:
     for f in _BYTE_FIELDS:
         if f == "ner" and not has_ner:
             continue
-        a = np.asarray(batch[f])
-        assert a.max(initial=0) < 256, f"{f} overflows the byte layout"
+        a = _check_range(np.asarray(batch[f]), f, 256)
         put(np.ascontiguousarray(a, np.uint8))
     for f in _U16_FIELDS:
-        a = np.asarray(batch[f])
-        assert a.max(initial=0) < 65536, f"{f} overflows uint16"
+        a = _check_range(np.asarray(batch[f]), f, 65536)
         put(np.ascontiguousarray(a, "<u2"))
     for f in _MASK_FIELDS:
         put(np.ascontiguousarray(batch[f], np.uint8))
@@ -157,13 +167,24 @@ _SP_BYTE_MASKS = ("edge_mask", "pad_mask", "seg_start")
 _SP_BIT_MASKS = ("slot_mask", "subj_mask", "obj_mask")
 
 
+def _sp_expected_keys(has_ner: bool) -> set:
+    fields = [f for f in _SP_TOKEN_FIELDS if f != "ner" or has_ner]
+    return ({"words", "lengths", "labels", "example_mask"}
+            | set(fields) | set(_U16_FIELDS)
+            | set(_SP_BYTE_MASKS) | set(_SP_BIT_MASKS))
+
+
 def sentence_packable(batch: dict) -> bool:
-    """True for a PackedBatcher batch (integer ids, [B,S,N] slot masks)
-    with no side-band plan arrays (halo plans ride extra keys)."""
+    """True for a PackedBatcher batch (integer ids, [B,S,N] slot masks).
+    Exact-key check against the field set ``pack_sentence_batch``
+    consumes: ANY side-band key (halo ``hplan_*`` plans or a future
+    addition) must fall back to the dict transfer — the packer would
+    silently drop it and the consumer would fail only via a late
+    missing-key trace error."""
     if "slot_mask" not in batch or not isinstance(
             batch.get("words"), np.ndarray):
         return False
-    if any(k.startswith("hplan_") for k in batch):
+    if set(batch) != _sp_expected_keys("ner" in batch):
         return False
     return batch["words"].ndim == 2
 
@@ -192,12 +213,10 @@ def pack_sentence_batch(batch: dict) -> np.ndarray:
     for f in _SP_TOKEN_FIELDS:
         if f == "ner" and not has_ner:
             continue
-        a = np.asarray(batch[f])
-        assert a.max(initial=0) < 256, f"{f} overflows the byte layout"
+        a = _check_range(np.asarray(batch[f]), f, 256)
         put(np.ascontiguousarray(a, np.uint8))
     for f in _U16_FIELDS:
-        a = np.asarray(batch[f])
-        assert a.max(initial=0) < 65536, f"{f} overflows uint16"
+        a = _check_range(np.asarray(batch[f]), f, 65536)
         put(np.ascontiguousarray(a, "<u2"))
     for f in _SP_BYTE_MASKS:
         put(np.ascontiguousarray(batch[f], np.uint8))

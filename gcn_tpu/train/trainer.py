@@ -93,6 +93,30 @@ def _zeros_like_tree(t):
     return jax.tree.map(jnp.zeros_like, t)
 
 
+def _warmup_workers(requested: int) -> int:
+    """Thread-pool width for ``Trainer.warmup`` compiles.
+
+    Concurrent jit dispatch is only worthwhile (and only known-safe) when
+    compilation happens SERVICE-side — the remote TPU relay, where each
+    compile RPC releases the GIL and the service compiles in parallel.  On
+    the CPU backend the compiles run in-process, and two threads
+    concurrently inside MLIR lowering + the persistent compilation cache
+    have segfaulted the interpreter (observed SIGSEGV: one thread in
+    ``compilation_cache.get_executable_and_time``, another mid-lowering);
+    there is no overlap win in-process anyway, so serialize there.
+    """
+    if jax.default_backend() == "cpu":
+        return 1
+    return max(1, int(requested))
+
+
+@jax.jit
+def device_weighted_sum(scalars: list, weights: jax.Array) -> jax.Array:
+    """Dot of a list of device scalars with a host weight vector in one
+    program + one fetch (see ``device_sum`` for why module-level)."""
+    return jnp.dot(jnp.stack(scalars), weights)
+
+
 @jax.jit
 def device_sum(scalars: list) -> jax.Array:
     """Sum a list of device scalars in one program + one fetch.  Module-
@@ -644,6 +668,7 @@ class Trainer:
         all_preds: list[int] = []
         all_probs: list[list[float]] = []
         losses: list = []  # device scalars; ONE fetch at the end
+        loss_w: list[int] = []  # per-entry valid-example counts (host)
         n = 0
         self._saw_packed_eval = False
 
@@ -655,6 +680,7 @@ class Trainer:
             all_preds.extend(preds[mask].tolist())
             all_probs.extend(probs[mask].tolist())
             losses.append(loss)
+            loss_w.append(int(mask.sum()))
             n += int(mask.sum())
 
         spd = max(1, self.cfg.train.steps_per_dispatch)
@@ -731,15 +757,19 @@ class Trainer:
                     drain(pending.pop(0))
             for item in pending:
                 drain(item)
-        total_loss = float(device_sum(losses)) if losses else 0.0
         if self._saw_packed_eval:
             # sentence-packed batchers: cfg batch_size counts ROWS, so
             # the reference formula below would deflate the logged loss
-            # by the pack factor; the exact mean of batch means (which
-            # that formula approximates) keeps loss curves comparable
-            # across the packing flag
-            avg = total_loss / max(len(losses), 1)
+            # by the pack factor; instead report the exact per-example
+            # mean — each batch's mean loss weighted by its valid-example
+            # count, so a partially filled final batch contributes in
+            # proportion (still ONE device program + fetch)
+            total = (float(device_weighted_sum(
+                losses, np.asarray(loss_w, np.float32)))
+                if losses else 0.0)
+            avg = total / max(n, 1)
         else:
+            total_loss = float(device_sum(losses)) if losses else 0.0
             avg = total_loss / max(n, 1) * self.cfg.train.batch_size
         return all_preds, all_probs, avg
 
@@ -886,6 +916,7 @@ class Trainer:
                 _zeros_like_tree(self.opt_state),
                 _zeros_like_tree(self.params)))
 
+        max_workers = _warmup_workers(max_workers)
         t0 = _time.time()
         with ThreadPoolExecutor(max_workers=max(1, max_workers)) as ex:
             for fut in [ex.submit(t) for t in tasks]:

@@ -19,6 +19,7 @@ from gcn_tpu.config import cgcn_preset
 from gcn_tpu.train.trainer import (
     Trainer,
     _dummy_batch,
+    _warmup_workers,
     allowed_chunk_sizes,
     chunk_plan,
 )
@@ -155,6 +156,18 @@ def test_warmup_batches_one_per_shape_and_rng_untouched():
     assert len(baseline) == len(first_epoch)
     for a, b in zip(baseline, first_epoch):
         np.testing.assert_array_equal(a, b)
+
+
+def test_warmup_serializes_compiles_on_cpu_backend():
+    """In-process (CPU backend) jit compiles are not thread-safe —
+    concurrent MLIR lowering + persistent-cache access has segfaulted the
+    interpreter (SIGSEGV in compilation_cache.get_executable_and_time
+    under a full-suite run).  warmup must clamp its pool to one worker
+    whenever the backend compiles in-process; the thread pool is for the
+    remote-TPU relay only, where compile RPCs run service-side."""
+    assert jax.default_backend() == "cpu"  # the suite pins JAX_PLATFORMS
+    assert _warmup_workers(4) == 1
+    assert _warmup_workers(1) == 1
 
 
 def test_warmup_preserves_trainer_state_and_trajectory():

@@ -67,8 +67,15 @@ def parse_official(path: str) -> list[dict]:
             i += 1
             continue
         sid, text = m.group(1), m.group(2)
+        if i + 1 >= len(lines):
+            raise ValueError(
+                f"{path}: truncated record — sentence {sid} at line "
+                f"{i + 1} has no label line (file ends)")
         lm = _LABEL_RE.match(lines[i + 1].strip())
-        assert lm, f"bad label line after sentence {sid}: {lines[i + 1]!r}"
+        if not lm:
+            raise ValueError(
+                f"{path}: bad label line after sentence {sid} at line "
+                f"{i + 2}: {lines[i + 1]!r}")
         rel, a1, _ = lm.group(1), lm.group(2), lm.group(3)
         entries.append({
             "id": sid,
