@@ -220,14 +220,45 @@ class _BatcherBase:
                 yield batch
             self._cache = cache
 
+    # Plans depend only on the edge structure, which is epoch-invariant
+    # per chunk (only word→UNK dropout re-samples between epochs), so they
+    # are cached across epochs keyed by a hash of the edge arrays.  The
+    # cache stops growing at this byte budget (large-corpus guard: plans
+    # are ~0.5 MB/batch at flagship shapes × one entry per chunk); misses
+    # past the budget just rebuild — the vectorized builder is cheap.
+    _HALO_CACHE_BUDGET = 256 << 20
+
     def _attach_halo(self, batch: dict, n: int) -> dict:
         # graph_partition=halo: carry static-shape exchange plans for a
         # `model` axis of halo_devices shards (set by the driver)
-        if self.halo_devices > 1:
-            from gcn_tpu.parallel.halo import attach_halo_plans
+        if self.halo_devices <= 1:
+            return batch
+        from hashlib import blake2b
 
-            batch = attach_halo_plans(batch, n, self.halo_devices)
-        return batch
+        from gcn_tpu.parallel.halo import attach_halo_plans
+
+        hsh = blake2b(digest_size=16)
+        for f in ("edge_parent", "edge_child", "edge_mask"):
+            a = np.ascontiguousarray(batch[f])
+            hsh.update(str(a.shape).encode())
+            hsh.update(a.tobytes())
+        key = (hsh.hexdigest(), n, self.halo_devices)
+        cache = getattr(self, "_halo_plan_cache", None)
+        if cache is None:
+            cache = self._halo_plan_cache = {}
+            self._halo_cache_bytes = 0
+        hit = cache.get(key)
+        if hit is not None:
+            out = dict(batch)
+            out.update(hit)
+            return out
+        full = attach_halo_plans(batch, n, self.halo_devices)
+        plans = {k: v for k, v in full.items() if k.startswith("hplan_")}
+        size = sum(v.nbytes for v in plans.values())
+        if self._halo_cache_bytes + size <= self._HALO_CACHE_BUDGET:
+            cache[key] = plans
+            self._halo_cache_bytes += size
+        return full
 
 
 class Batcher(_BatcherBase):

@@ -54,10 +54,33 @@ class ShardedBatcher:
     def __len__(self) -> int:
         return len(self.batcher)
 
+    @property
+    def halo_devices(self) -> int:
+        return self.batcher.halo_devices
+
+    @halo_devices.setter
+    def halo_devices(self, value: int) -> None:
+        # the driver sets this on whichever batcher it holds; plans are
+        # built by the WRAPPED batcher (on the global batch, cached per
+        # chunk) and sliced per process below
+        self.batcher.halo_devices = value
+
     def _slice(self, batch: dict) -> dict:
         lo = self.process_index * self.local_rows
         hi = lo + self.local_rows
-        return {k: v[lo:hi] for k, v in batch.items()}
+
+        def cut(k: str, v):
+            if k.startswith("hplan_"):
+                # halo plan arrays put the batch dim AFTER the device
+                # dim(s): requests/request_mask are [K, K, B, Hp], edge
+                # lists [K, B, E].  Plans are per-example, so slicing B
+                # is exact (gcn_tpu.parallel.halo layout contract).
+                if v.ndim == 4:
+                    return v[:, :, lo:hi]
+                return v[:, lo:hi]
+            return v[lo:hi]
+
+        return {k: cut(k, v) for k, v in batch.items()}
 
     def __iter__(self) -> Iterator[dict]:
         for batch in self.batcher:
@@ -66,12 +89,20 @@ class ShardedBatcher:
 
 def global_batch_from_local(mesh, batch: dict, data_axis: str = "data"):
     """Assemble per-process local batches into global sharded arrays
-    (multi-host path of the sharded train step)."""
+    (multi-host path of the sharded train step).  Halo plan arrays keep
+    their own layout — device dim on ``model``, batch dim on ``data``
+    (``parallel.halo.plan_spec``); every other leaf shards its leading
+    batch axis over ``data``."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gcn_tpu.parallel.halo import is_plan_key, plan_spec
 
     out = {}
     for k, v in batch.items():
-        spec = P(data_axis, *([None] * (np.ndim(v) - 1)))
+        if is_plan_key(k):
+            spec = plan_spec(k, np.ndim(v), data_axis=data_axis)
+        else:
+            spec = P(data_axis, *([None] * (np.ndim(v) - 1)))
         out[k] = jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(v)
         )

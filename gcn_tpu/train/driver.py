@@ -214,12 +214,6 @@ def run_training(
         trainer = DistributedTrainer(cfg, emb_matrix=emb_matrix)
     else:
         trainer = Trainer(cfg, emb_matrix=emb_matrix)
-    if cfg.model.graph_partition == "halo" and jax.process_count() > 1:
-        raise NotImplementedError(
-            "graph_partition=halo is single-process SPMD for now (the "
-            "multi-host batch slicer doesn't model the plan-array layout); "
-            "use graph_partition=edges for multi-host graph parallelism"
-        )
     if (cfg.model.graph_partition == "halo"
             and getattr(trainer, "_partition_mesh", None) is not None):
         # every batch needs static-shape halo exchange plans for the

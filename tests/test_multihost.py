@@ -140,3 +140,50 @@ def test_two_process_training_matches_single(
         assert abs(float(row_s[3]) - float(row_m[3])) < 1e-6, (row_s, row_m)
     # only process 0 writes artifacts; checkpoints exist and load
     assert os.path.isdir(os.path.join(tmp_path, "mp", "mp", "best_model"))
+
+
+@pytest.mark.slow
+def test_two_process_halo_training_matches_single(
+    tmp_path, single_process_logs
+):
+    """Multi-host halo: 2 processes × 2 virtual devices, mesh
+    (data=2, model=2), graph_partition=halo — the memory-scaling mode over
+    a process boundary (the DCN analog; SURVEY §2b row 6).  The halo
+    aggregate is numerically the dense aggregate, so the loss trajectory
+    must match the plain single-process baseline; plan arrays are built on
+    the global batch by the wrapped batcher, sliced per process
+    (ShardedBatcher), and reassembled with their own (model, data)
+    layout (data.sharding.global_batch_from_local + parallel.halo
+    plan_spec)."""
+    port = free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            _cli_env(),
+            GCN_TPU_COORDINATOR=f"localhost:{port}",
+            GCN_TPU_NUM_PROCS="2",
+            GCN_TPU_PROC_ID=str(pid),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable] + _BASE_CLI
+            + ["--graph_partition", "halo", "--graph_axis", "2",
+               "--id", "mph", "--model_save_dir", str(tmp_path / "mph")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    for p in procs:
+        out2, err2 = p.communicate(timeout=420)
+        assert p.returncode == 0, (err2[-2000:], out2[-500:])
+        assert "Multi-host training" in out2
+        assert "Training ended" in out2
+
+    sp = single_process_logs
+    mp = _logs(os.path.join(tmp_path, "mph", "mph"))
+    assert len(sp) == len(mp) == 2
+    for row_s, row_m in zip(sp, mp):
+        assert row_s[0] == row_m[0]
+        assert abs(float(row_s[1]) - float(row_m[1])) < 1e-3 * max(
+            1.0, abs(float(row_s[1]))
+        ), (row_s, row_m)
+        assert abs(float(row_s[3]) - float(row_m[3])) < 1e-6, (row_s, row_m)

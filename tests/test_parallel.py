@@ -394,6 +394,34 @@ def test_grad_through_halo_matches_dense():
     )
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("k", [2, 3, 4, 8])
+def test_vectorized_halo_plan_matches_loop_reference(k, reverse):
+    """The vectorized (grouped-cumcount) build_halo_plan must be
+    bit-identical to the per-edge-loop reference formulation — edge order
+    within each (device, example) group, first-appearance request dedup
+    order, capacity sizing and static-budget padding all included."""
+    from gcn_tpu.parallel.halo import build_halo_plan, build_halo_plan_loop
+
+    rng = np.random.RandomState(k * 7 + int(reverse))
+    for trial in range(4):
+        b, e, n = rng.randint(1, 9), rng.randint(1, 40), rng.randint(4, 33)
+        parent = rng.randint(0, n, (b, e)).astype(np.int32)
+        child = rng.randint(0, n, (b, e)).astype(np.int32)
+        mask = rng.rand(b, e) < rng.choice([0.0, 0.3, 0.9])
+        for pad_to in (None, (-(-n // k), e + 3, e + 5)):
+            got = build_halo_plan(parent, child, mask, n, k,
+                                  reverse=reverse, pad_to=pad_to)
+            want = build_halo_plan_loop(parent, child, mask, n, k,
+                                        reverse=reverse, pad_to=pad_to)
+            assert got.slab == want.slab
+            assert got.halo_width == want.halo_width
+            for f in ("requests", "request_mask", "local_dst", "local_src",
+                      "local_mask", "halo_dst", "halo_src", "halo_mask"):
+                np.testing.assert_array_equal(
+                    getattr(got, f), getattr(want, f), err_msg=f)
+
+
 @pytest.mark.parametrize("mode", ["edges", "halo"])
 def test_trainer_graph_partition_end_to_end(mode):
     """DistributedTrainer with graph_partition trains end-to-end on the
