@@ -111,6 +111,16 @@ class ModelConfig:
     # Takes effect when a partition mesh is active (DistributedTrainer
     # with mesh.graph_axis > 1); otherwise falls back to the dense path.
     graph_partition: str = "none"
+    # Attention-mode aggregation backend:
+    #   "dense" — one [B,N,N] score matmul + masked softmax + dense
+    #             aggregation per band (MXU-native; the measured winner at
+    #             sentence scale: 0.13 vs 1.35 ms/band fwd+bwd at flagship
+    #             shapes, tools/step_breakdown.py --attention),
+    #   "edge"  — SDDMM + edge-softmax + weighted SpMM over edge lists
+    #             (O(E·H) memory: no [B,N,N]; the giant-forest regime),
+    #   "auto"  — dense when the padded node count is MXU-sized (N ≤ 512),
+    #             edge lists beyond.
+    attention_impl: str = "auto"
 
     @property
     def input_dim(self) -> int:

@@ -186,8 +186,8 @@ class GCNClassifier(nn.Module):
         # (B=50: 1.56M vs 1.45M edges/s; B=100: 1.84 vs 1.82; B=200: 1.83
         # vs 1.74) with XLA slightly ahead — the kernels remain available
         # (use_pallas=true) for their no-[B,N,N]-in-HBM memory property.
-        # The attention mode always uses the Pallas SDDMM (measured 2.6×
-        # the XLA gather path) regardless of this flag.
+        # The attention mode's backend is cfg.attention_impl (dense masked
+        # softmax at sentence scale, SDDMM edge path beyond), not this flag.
         use_pallas = cfg.use_pallas
         if use_pallas == "auto":
             use_pallas = False
@@ -221,6 +221,13 @@ class GCNClassifier(nn.Module):
                 and not edge_drop_active
             )
         )
+        # attention backend: dense masked-softmax bands at sentence scale
+        # (MXU matmuls; measured 10× the edge path per band at flagship
+        # shapes), edge lists (SDDMM + edge-softmax + SpMM) beyond
+        attn_impl = cfg.attention_impl
+        if attn_impl == "auto":
+            attn_impl = "dense" if n <= 512 else "edge"
+        attn_edge = cfg.adj_type == "attention" and attn_impl == "edge"
         denom = None
         if part is not None:
             from gcn_tpu.ops.spmm import node_degrees
@@ -235,7 +242,7 @@ class GCNClassifier(nn.Module):
             denom = (
                 deg_out + deg_in + incident.astype(dtype) + 1.0
             )[:, :, None]
-        elif use_fused or cfg.adj_type == "attention":
+        elif use_fused or attn_edge:
             from gcn_tpu.ops.spmm import node_degrees
 
             _, _, incident = node_degrees(
@@ -438,14 +445,41 @@ class GCNClassifier(nn.Module):
                 ep, ec = batch["edge_parent"], batch["edge_child"]
                 em = batch["edge_mask"]
                 hw = h @ w
-                # forward band: messages child→parent, normalized at parent
-                s_f = sddmm(ep, ec, em, q, k) * scale
-                a_f = edge_softmax(ep, s_f, em, n)
-                agg = spmm_forward(hw, ep, ec, em, edge_weights=a_f)
-                # reverse band: messages parent→child, normalized at child
-                s_r = sddmm(ec, ep, em, q, k) * scale
-                a_r = edge_softmax(ec, s_r, em, n)
-                agg = agg + spmm_reverse(hw, ep, ec, em, edge_weights=a_r)
+                if attn_impl == "dense":
+                    # Both bands share ONE dense score matrix
+                    # S[b,x,y] = q[x]·k[y] (the edge path's sddmm values:
+                    # forward band scores q[parent]·k[child], reverse
+                    # q[child]·k[parent]) — masked softmax per destination
+                    # row, aggregation as a dense matmul.  All MXU work;
+                    # allclose-tested against the edge path.
+                    s = jnp.einsum("bxh,byh->bxy", q, k) * scale
+                    s = s.astype(jnp.float32)
+                    mask_f = adj.forward > 0          # dst=parent rows
+                    mask_r = jnp.swapaxes(mask_f, 1, 2)  # dst=child rows
+                    agg = None
+                    for m in (mask_f, mask_r):
+                        sm = jnp.where(m, s, -1e30)
+                        mx = jax.lax.stop_gradient(
+                            jnp.max(sm, axis=2, keepdims=True))
+                        ex = jnp.where(m, jnp.exp(sm - mx),
+                                       jnp.zeros((), s.dtype))
+                        den = jnp.maximum(
+                            ex.sum(axis=2, keepdims=True), 1e-30)
+                        a = (ex / den).astype(dtype)
+                        band = jnp.einsum("bxy,byh->bxh", a, hw)
+                        agg = band if agg is None else agg + band
+                else:
+                    # forward band: messages child→parent, normalized at
+                    # parent
+                    s_f = sddmm(ep, ec, em, q, k) * scale
+                    a_f = edge_softmax(ep, s_f, em, n)
+                    agg = spmm_forward(hw, ep, ec, em, edge_weights=a_f)
+                    # reverse band: messages parent→child, normalized at
+                    # child
+                    s_r = sddmm(ec, ep, em, q, k) * scale
+                    a_r = edge_softmax(ec, s_r, em, n)
+                    agg = agg + spmm_reverse(hw, ep, ec, em,
+                                             edge_weights=a_r)
                 # self connection (unnormalized, like the regular mode's
                 # W(h) term)
                 axw = agg + hw + b

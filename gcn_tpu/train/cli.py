@@ -122,6 +122,12 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    help="Checkpoint directory to warm-start from.")
 
     p.add_argument("--adj_type", type=str, default="regular")
+    p.add_argument("--attention_impl", type=str, default="auto",
+                   choices=["auto", "dense", "edge"],
+                   help="adj_type=attention backend: dense [B,N,N] masked "
+                        "softmax (MXU-native; wins at sentence scale) vs "
+                        "edge-list SDDMM path (O(E) memory for giant "
+                        "forests); auto picks by padded node count.")
     p.add_argument("--deprel_emb_dim", type=int, default=200)
     p.add_argument("--deprel_dropout", type=float, default=0.5)
     p.add_argument("--deprel_self_loop", type=str2bool, default=True)
@@ -246,6 +252,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     m.rnn_impl = args.rnn_impl
     m.prune_k = args.prune_k
     m.adj_type = args.adj_type
+    m.attention_impl = args.attention_impl
     m.deprel_emb_dim = args.deprel_emb_dim
     m.deprel_dropout = args.deprel_dropout
     m.deprel_self_loop = args.deprel_self_loop

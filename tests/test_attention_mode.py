@@ -112,3 +112,45 @@ def test_trains_on_synthetic(setup):
         if first is None:
             first = float(loss)
     assert float(loss) < first * 0.5, (first, float(loss))
+
+
+def test_dense_impl_matches_edge_impl(setup):
+    """attention_impl=dense (one [B,N,N] score matmul + masked softmax +
+    dense aggregation — the measured winner at sentence scale) must be
+    numerically the edge path (SDDMM + edge-softmax + weighted SpMM):
+    same scores, same per-destination normalization, same bands."""
+    import dataclasses
+
+    cfg, model, params, batch, _ = setup
+    outs = {}
+    for impl in ("dense", "edge"):
+        cfg_i = dataclasses.replace(cfg, attention_impl=impl)
+        model_i = GCNClassifier(cfg_i)
+        logits, pooled = model_i.apply(params, batch, True)
+        outs[impl] = (np.asarray(logits), np.asarray(pooled))
+    np.testing.assert_allclose(outs["dense"][0], outs["edge"][0],
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(outs["dense"][1], outs["edge"][1],
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_dense_impl_grads_match_edge_impl(setup):
+    import dataclasses
+
+    cfg, model, params, batch, _ = setup
+    grads = {}
+    for impl in ("dense", "edge"):
+        cfg_i = dataclasses.replace(cfg, attention_impl=impl)
+        model_i = GCNClassifier(cfg_i)
+
+        def loss(p):
+            logits, _ = model_i.apply(p, batch, True)
+            return (logits ** 2).sum()
+
+        grads[impl] = jax.grad(loss)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        ),
+        grads["dense"], grads["edge"],
+    )
