@@ -151,6 +151,10 @@ def attention_breakdown():
     s0 = jax.random.normal(jax.random.key(3), ep.shape, jnp.float32)
 
     def timed(label, f, *args):
+        # on-device fori_loop chain: these ops are near or below the
+        # ~0.1 ms per-call dispatch floor, which a host-dispatched chain
+        # mis-attributes to the op (it inverted the sddmm pallas/xla
+        # ranking until this harness was switched)
         def step(s):
             val, grads = jax.value_and_grad(
                 lambda *a: jnp.sum(f(*a) ** 2), argnums=tuple(
@@ -161,7 +165,7 @@ def attention_breakdown():
             return val.astype(jnp.float32)
 
         kk = (2, 4) if tiny else (10, 30)
-        dt = scalar_chain_time(jax.jit(step), *kk)
+        dt = scalar_chain_time(step, *kk, on_device=True)
         print(json.dumps({"op": label,
                           "ms_fwd_bwd": round(dt * 1e3, 3)}), flush=True)
         return dt * 1e3
