@@ -132,7 +132,7 @@ def make_learnable_example(rng, i, dataset="tacred"):
     return ex
 
 
-def make_hard_example(rng, i, dataset="tacred"):
+def make_hard_example(rng, i, dataset="tacred", trigger_copies=1):
     """NON-SATURATED variant of the learnable task: structured so neither
     framework can reach F1 1.0, which makes cross-framework quality deltas
     measurable *off the ceiling* (two frameworks agreeing at 1.0 on a
@@ -187,10 +187,19 @@ def make_hard_example(rng, i, dataset="tacred"):
         if dataset == "tacred":
             ex["subj_type"] = "PERSON" if variant == 0 else "ORGANIZATION"
         if rng.rand() >= 0.25:  # trigger dropout: 25% of positives blind
-            attach_leaf(f"trgpair{pair}", ex["obj_start"] + 1)
+            # trigger_copies > 1 densifies the SIGNAL without moving the
+            # CEILING (trigger dropout and label noise are unchanged):
+            # the flagship stack's 0.5-dropout everywhere needs a denser
+            # signal to reach the 0.3-0.8 operating band inside a
+            # tractable epoch budget; copies attach to the object head
+            # and the subject head (both survive K>=1 pruning)
+            heads = [ex["obj_start"] + 1, ex["subj_start"] + 1]
+            for c in range(trigger_copies):
+                attach_leaf(f"trgpair{pair}", heads[c % 2])
     if rng.rand() < 0.40:  # decoy: another pair's trigger off-path
-        attach_leaf(f"trgpair{rng.randint(pairs)}",
-                    rng.randint(len(ex["token"])) + 1)
+        for c in range(trigger_copies):
+            attach_leaf(f"trgpair{rng.randint(pairs)}",
+                        rng.randint(len(ex["token"])) + 1)
     if rng.rand() < 0.08:  # label noise
         ex["relation"] = labels[rng.randint(len(labels))]
     return ex
@@ -230,10 +239,19 @@ def main():
                         "cross-framework deltas are measurable off the "
                         "ceiling (tacred only)")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--trigger_copies", type=int, default=1,
+                   help="hard task: attach the (real and decoy) trigger "
+                        "this many times per example — densifies the "
+                        "signal for heavily-regularized stacks without "
+                        "moving the F1 ceiling (trigger dropout and "
+                        "label noise are unchanged)")
     args = p.parse_args()
     rng = np.random.RandomState(args.seed)
+    import functools
+
     gen = {"learnable": make_learnable_example,
-           "hard": make_hard_example,
+           "hard": functools.partial(make_hard_example,
+                                     trigger_copies=args.trigger_copies),
            "random": make_example}[args.task]
 
     targets = (("tacred", "tacred"), ("semeval", "semeval"))

@@ -96,12 +96,11 @@ def common_flags(args, workdir):
             "--vocab_dir", os.path.join(workdir, vocab),
             "--num_epoch", str(args.num_epoch),
             "--batch_size", str(args.batch_size),
-            "--optim", "adagrad", "--lr", "0.2",
+            "--optim", args.optim, "--lr", str(args.lr),
             "--decay_epoch", str(args.num_epoch + 1),
             "--prune_k", "1",
             "--num_layers", "2",
             "--seed", str(args.seed),
-            "--cpu",
         ]
         if args.arch == "cgcn":
             # the flagship stack: BiLSTM contextualization + full_deprel
@@ -130,7 +129,6 @@ def common_flags(args, workdir):
         "--num_layers", "2",
         "--adj_type", "full_deprel",
         "--seed", str(args.seed),
-        "--cpu",
     ]
     if args.no_dropout:
         flags += ["--input_dropout", "0", "--gcn_dropout", "0",
@@ -152,7 +150,8 @@ def stage_data(workdir, args=None):
             [sys.executable, os.path.join(REPO, "tools",
                                           "make_sample_data.py"),
              "--out", workdir, "--n", str(args.n_train),
-             "--task", args.data_mode],
+             "--task", args.data_mode,
+             "--trigger_copies", str(args.trigger_copies)],
             capture_output=True, text=True, timeout=600,
         )
         assert out.returncode == 0, out.stderr[-2000:]
@@ -181,13 +180,13 @@ def run_reference(args, workdir):
         "--data_dir", data,
         "--model_save_dir", save,
         "--test_save_dir", os.path.join(workdir, "ref_test"),
-        "--id", "cmp",
+        "--id", "cmp", "--cpu",
         *common_flags(args, workdir),
     ]
     out = subprocess.run(
-        cmd, cwd=REF, capture_output=True, text=True, timeout=3600,
+        cmd, cwd=REF, capture_output=True, text=True, timeout=5400,
         env={**os.environ, "CUDA_VISIBLE_DEVICES": "",
-             "OMP_NUM_THREADS": "2"},
+             "OMP_NUM_THREADS": str(args.ref_threads)},
     )
     if out.returncode != 0:
         print(out.stdout[-3000:], file=sys.stderr)
@@ -215,13 +214,24 @@ def run_ours(args, workdir):
         "--id", "cmp",
         *common_flags(args, workdir),
     ]
+    env = dict(os.environ)
+    if args.ours_platform == "cpu":
+        cmd.append("--cpu")
+    else:
+        # run our side on the real TPU chip (the product target; F1 is
+        # hardware-independent and the chip is ~10x this host's CPU) —
+        # persistent compile cache so seeds 2..N skip the remote compiles
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, ".jax_tpu_cache"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     if args.dataset == "semeval":
         # score with the reference's metric: its SemEval driver uses the
         # TACRED scorer's literal "no_relation" (never present), so its F1
         # counts "Other" as a positive class
         cmd += ["--scorer_negative_label", "no_relation"]
     out = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600,
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=5400,
+        env=env,
     )
     if out.returncode != 0:
         print(out.stdout[-3000:], file=sys.stderr)
@@ -269,6 +279,34 @@ def main():
                         "optimization); cgcn = flagship BiLSTM + "
                         "full_deprel + default dropout (exercises the "
                         "whole stack; noisier per-seed)")
+    p.add_argument("--optim", default="adagrad",
+                   help="learnable/hard-protocol optimizer for BOTH "
+                        "frameworks (the r3 protocol used adagrad 0.2; "
+                        "the flagship/cgcn off-ceiling protocol uses "
+                        "adam, whose per-parameter adaptivity latches "
+                        "onto the sparse trigger signal through the "
+                        "0.5-dropout stack an order of magnitude faster "
+                        "- both frameworks use torch-default adam "
+                        "hyperparameters, reference torch_utils.py:97)")
+    p.add_argument("--lr", type=float, default=0.2,
+                   help="learnable/hard-protocol learning rate (ignored "
+                        "by adam/adamax in BOTH frameworks - reference "
+                        "get_optimizer uses torch defaults there)")
+    p.add_argument("--trigger_copies", type=int, default=1,
+                   help="hard task: trigger attachment multiplicity "
+                        "(make_sample_data --trigger_copies): densifies "
+                        "the signal so the heavily-regularized flagship "
+                        "stack reaches the 0.3-0.8 band in a tractable "
+                        "epoch budget; ceilings (trigger dropout, label "
+                        "noise) unchanged")
+    p.add_argument("--ours_platform", choices=["cpu", "tpu"],
+                   default="cpu",
+                   help="tpu = run the gcn_tpu side on the real chip "
+                        "(the product target; ~10x this host's CPU, "
+                        "F1 is hardware-independent); reference always "
+                        "runs on CPU (it has no TPU support)")
+    p.add_argument("--ref_threads", type=int, default=2,
+                   help="OMP_NUM_THREADS for the torch reference run")
     p.add_argument("--n_train", type=int, default=1200,
                    help="learnable mode: training examples (dev/test get "
                         "half each); 1200 x 40 epochs converges to ~0.93 "
