@@ -202,11 +202,13 @@ class GCNClassifier(nn.Module):
         part = active_partition()
         if part is not None and cfg.graph_partition == "none":
             part = None
-        if part is not None and cfg.adj_type == "attention":
+        if (part is not None and cfg.adj_type == "attention"
+                and part[0] != "edges"):
             raise ValueError(
-                "adj_type=attention does not support graph_partition "
-                "(edge-softmax normalization is cross-shard); use "
-                "regular/diagonal_deprel/full_deprel"
+                "adj_type=attention supports graph_partition=edges (the "
+                "cross-shard edge-softmax psums per-destination max and "
+                "denominator); halo would need cross-slab q/k gathers — "
+                "use edges, or regular/diagonal_deprel/full_deprel"
             )
         if part is not None and part[0] == "halo" and edge_drop_active:
             raise ValueError(
@@ -445,7 +447,30 @@ class GCNClassifier(nn.Module):
                 ep, ec = batch["edge_parent"], batch["edge_child"]
                 em = batch["edge_mask"]
                 hw = h @ w
-                if attn_impl == "dense":
+                if part is not None:
+                    # graph_partition=edges: shard-local scores + weighted
+                    # scatter, cross-shard softmax normalizers (one pmax +
+                    # one psum of [B,N] per band) — parallel.edge_partition
+                    from gcn_tpu.parallel.edge_partition import (
+                        partitioned_attention_band,
+                    )
+
+                    mode_p, mesh_p, axis_p, da_p = part
+                    ax_sz = mesh_p.shape[axis_p]
+                    epp, ecp, emp = ep, ec, em
+                    pad_e = (-ep.shape[1]) % ax_sz
+                    if pad_e:
+                        epp = jnp.pad(epp, ((0, 0), (0, pad_e)))
+                        ecp = jnp.pad(ecp, ((0, 0), (0, pad_e)))
+                        emp = jnp.pad(emp, ((0, 0), (0, pad_e)))
+                    agg = partitioned_attention_band(
+                        mesh_p, q * scale, k, hw, epp, ecp, emp,
+                        axis=axis_p, data_axis=da_p,
+                    ) + partitioned_attention_band(
+                        mesh_p, q * scale, k, hw, epp, ecp, emp,
+                        reverse=True, axis=axis_p, data_axis=da_p,
+                    )
+                elif attn_impl == "dense":
                     # Both bands share ONE dense score matrix
                     # S[b,x,y] = q[x]·k[y] (the edge path's sddmm values:
                     # forward band scores q[parent]·k[child], reverse

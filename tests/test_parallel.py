@@ -332,9 +332,14 @@ def _part_batch(cfg, mode, k=4, n=16):
     return batch
 
 
-@pytest.mark.parametrize("adj_type",
-                         ["regular", "diagonal_deprel", "full_deprel"])
-@pytest.mark.parametrize("mode", ["edges", "halo"])
+@pytest.mark.parametrize("adj_type,mode", [
+    ("regular", "edges"), ("regular", "halo"),
+    ("diagonal_deprel", "edges"), ("diagonal_deprel", "halo"),
+    ("full_deprel", "edges"), ("full_deprel", "halo"),
+    # attention partitions over edges via the cross-shard edge-softmax
+    # (per-destination pmax + psum denominators); halo is excluded
+    ("attention", "edges"),
+])
 def test_partitioned_model_forward_matches_dense(adj_type, mode):
     """GCNClassifier forward routed through graph_partition on a
     (data=2, model=4) mesh == the dense single-device forward."""
@@ -448,3 +453,38 @@ def test_trainer_graph_partition_end_to_end(mode):
     p2, _, loss2 = t2.predict_batch(batch)
     assert p1 == p2
     assert abs(loss1 - loss2) < 1e-4
+
+
+def test_grad_through_partitioned_attention_matches_dense():
+    """Gradients through the edges-partitioned attention band (shard-local
+    scores + cross-shard softmax normalizers) == the unpartitioned
+    attention gradients, incl. the attn_q/attn_k projections."""
+    from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.utils.shard_ctx import graph_partition
+
+    cfg = _tiny_part_cfg("attention", "edges")
+    model = GCNClassifier(cfg.model)
+    batch = _part_batch(cfg, "edges")
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, True,
+    )
+    mesh = make_mesh(data=2, model=4)
+
+    def loss_part(p, b):
+        with graph_partition("edges", mesh):
+            lg, _ = model.apply(p, b, True)
+        return jnp.sum(lg ** 2)
+
+    def loss_ref(p, b):
+        lg, _ = model.apply(p, b, True)
+        return jnp.sum(lg ** 2)
+
+    g1 = jax.jit(jax.grad(loss_part))(params, batch)
+    g0 = jax.jit(jax.grad(loss_ref))(params, batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3
+        ),
+        g1, g0,
+    )
