@@ -284,14 +284,10 @@ def bench_product_loop_pair(passes: dict, n_batches: int, repeats: int = 3):
     return {k: min(v) / n_batches for k, v in raw.items()}, raw
 
 
-def bench_eval_step(cfg, batch, label: str):
-    """Inference (eval-mode forward) throughput — the serving-path metric.
-
-    Deterministic forward + softmax, chained through a scalar so every
-    iteration executes (same honest methodology as the train-step bench).
-    """
+def prepare_eval_step(cfg, batch):
+    """Warmed eval-forward chain (deterministic forward + softmax as one
+    on-device fori_loop program) → ``(chain(k), sentences, edges)``."""
     from gcn_tpu.models.gcn import GCNClassifier
-    from gcn_tpu.utils.timing import scalar_chain_time, step_flops
 
     model = GCNClassifier(cfg.model)
     params = jax.jit(lambda r, bb: model.init(r, bb, True))(
@@ -299,7 +295,6 @@ def bench_eval_step(cfg, batch, label: str):
     )
     jax.block_until_ready(params)
 
-    @jax.jit
     def step(s):
         p = jax.tree.map(
             lambda a: a + (s * 1e-30).astype(a.dtype)
@@ -309,20 +304,43 @@ def bench_eval_step(cfg, batch, label: str):
         logits, _ = model.apply(p, batch, True)
         return jax.nn.softmax(logits, axis=-1).astype(jnp.float32).sum()
 
-    dt = scalar_chain_time(step, on_device=True)
+    @jax.jit
+    def run_k(k):
+        return jax.lax.fori_loop(
+            0, k, lambda _, s: step(s), jnp.float32(0.0)
+        )
+
+    float(run_k(jnp.int32(2)))  # compile + warm
+
+    def chain(k):
+        float(run_k(jnp.int32(k)))
+
     b = int(np.asarray(batch["example_mask"]).sum())
     edges = int(np.asarray(batch["edge_mask"]).sum())
-    rec = {
-        "record": f"eval_step:{label}",
-        "ms_per_batch": round(dt * 1e3, 3),
-        "sentences_per_sec": round(b / dt, 1),
-        "edges_per_sec": round(edges / dt, 1),
+    return chain, b, edges
+
+
+def bench_eval_pair(cfgs_batches: dict, tiny: bool):
+    """Serving-path rows, packed vs unpacked, with INTERLEAVED samples
+    (the sequentially-measured pair swung 1.68×→1.04× across chip-load
+    windows; same rationale as bench_pair).  Returns
+    {label: (dt, sentences)} and the per-repeat packed-speedup median."""
+    prepared = {
+        lbl: prepare_eval_step(cfg, batch)
+        for lbl, (cfg, batch) in cfgs_batches.items()
     }
-    flops = step_flops(step, jnp.float32(0.0))
-    if flops:
-        rec["cost_analysis_flops"] = flops
-    diag(**rec)
-    return dt, b
+    dts, t2 = bench_pair(
+        {lbl: p[0] for lbl, p in prepared.items()},
+        **({"k1": 2, "k2": 4, "repeats": 2} if tiny else {}),
+    )
+    out = {}
+    for lbl, (chain, b, edges) in prepared.items():
+        dt = dts[lbl]
+        out[lbl] = (dt, b)
+        diag(record=f"eval_step:{lbl}", ms_per_batch=round(dt * 1e3, 3),
+             sentences_per_sec=round(b / dt, 1),
+             edges_per_sec=round(edges / dt, 1))
+    return out, t2
 
 
 def main() -> None:
@@ -464,17 +482,17 @@ def main() -> None:
 
     # inference throughput (serving path) — diagnostic record on stderr;
     # the packed row is the same corpus packed ~2x denser (serving gets
-    # the same padding-waste reclaim as training)
+    # the same padding-waste reclaim as training); the pair is timed
+    # interleaved so the serving-packing ratio survives load windows
     cfg = g._flagship_cfg(tiny=tiny)
     cfg.model.compute_dtype = "bfloat16"
-    eval_dt, eval_b = bench_eval_step(
-        cfg, g._synthetic_batch(cfg, b=b, n=n), "bf16"
-    )
-    evalp_dt, evalp_b = bench_eval_step(
-        cfg, g._synthetic_packed_batch(cfg, rows=b, n=n,
-                                       s=2 if tiny else 8),
-        "packed_bf16",
-    )
+    eval_rows, eval_t2 = bench_eval_pair({
+        "bf16": (cfg, g._synthetic_batch(cfg, b=b, n=n)),
+        "packed_bf16": (cfg, g._synthetic_packed_batch(
+            cfg, rows=b, n=n, s=2 if tiny else 8)),
+    }, tiny)
+    eval_dt, eval_b = eval_rows["bf16"]
+    evalp_dt, evalp_b = eval_rows["packed_bf16"]
 
     # large-forest row (BASELINE configs[4] single-chip leg): one GCN
     # layer fwd+bwd over a 65k-node synthetic forest in its measured-best
@@ -519,6 +537,9 @@ def main() -> None:
     }
     rates["eval_sentences_per_sec"] = round(eval_b / eval_dt, 1)
     rates["eval_packed_sentences_per_sec"] = round(evalp_b / evalp_dt, 1)
+    # serving-packing win from the interleaved pair's per-repeat medians
+    rates["eval_packing_speedup"] = round(
+        (evalp_b / eval_b) / pair_ratio(eval_t2, "packed_bf16", "bf16"), 2)
     if packed_mfu is not None:
         rates["packed_mfu_vs_cost_analysis"] = packed_mfu
     if "packed" in results and "unpacked_realistic" in results:
