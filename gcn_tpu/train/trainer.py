@@ -918,9 +918,19 @@ class Trainer:
 
         max_workers = _warmup_workers(max_workers)
         t0 = _time.time()
-        with ThreadPoolExecutor(max_workers=max(1, max_workers)) as ex:
-            for fut in [ex.submit(t) for t in tasks]:
-                jax.block_until_ready(fut.result())
+        if max_workers <= 1:
+            # CPU backend: run compiles INLINE on the main thread — even a
+            # single pool worker segfaults (observed: SIGSEGV with the
+            # worker inside compilation_cache.get_executable_and_time
+            # while the main thread merely waits on the future; the
+            # persistent-cache executable deserialization is not safe off
+            # the main thread there)
+            for t in tasks:
+                jax.block_until_ready(t())
+        else:
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                for fut in [ex.submit(t) for t in tasks]:
+                    jax.block_until_ready(fut.result())
         return {"programs": len(tasks), "seconds": _time.time() - t0}
 
     # ------------------------------------------------------------------- lr
