@@ -14,23 +14,6 @@ import copy
 
 import jax
 import numpy as np
-import pytest
-
-
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache_reads():
-    """Workaround for a jax-internal CPU-backend fragility: every observed
-    full-suite segfault (4/4 incidents, judge's and ours) died inside
-    ``backend.deserialize_executable`` (compilation_cache.get_executable_
-    and_time) while THIS module's warmup compiled its donating fused-step
-    programs late in a long-lived suite process — single-threaded, same
-    entry deserializes fine in a fresh process.  Persistent-cache reads
-    are disabled for this module only (fresh compiles at these tiny
-    shapes cost seconds); the rest of the suite keeps the cache."""
-    old = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    yield
-    jax.config.update("jax_enable_compilation_cache", old)
 
 from gcn_tpu.config import cgcn_preset
 from gcn_tpu.train.trainer import (
