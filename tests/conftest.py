@@ -19,38 +19,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent XLA compilation cache for SUBPROCESS tests only (CLI
-# round-trips, elastic kill/resume, 2-process multihost): those were the
-# slowest suite entries because every child recompiled its programs cold
-# (test_drivers' partition-vs-DP test alone was 62 s); each child is a
-# short-lived fresh process and has never crashed on the cache.
+# Persistent XLA compilation cache shared across test runs/workers: the
+# suite is compile-bound on small CPUs (hundreds of distinct programs), and
+# a warm cache cuts `make test` wall time by a large factor.  Keyed by
+# config+HLO, so stale entries are never wrongly reused; delete the
+# directory to force cold compiles.  Exported to the environment so
+# SUBPROCESS tests (CLI round-trips, elastic kill/resume, 2-process
+# multihost) inherit it — they were the slowest suite entries because
+# every child recompiled its programs cold.
 #
-# The MAIN pytest process deliberately does NOT use the persistent cache:
-# XLA:CPU's executable (de)serialization is not reliable late in a
-# long-lived many-program process — four full-suite runs died inside
-# compilation_cache (SIGSEGV in backend.deserialize_executable; after
-# disabling reads, SIGABRT in the serialize/write path), always while
-# test_warmup compiled its donating fused-step programs, single-threaded,
-# while the same entries (de)serialize fine in a fresh process.
-# In-process reuse is covered by jax's in-memory jit cache anyway; a
-# mid-run config toggle cannot opt a single module out because
-# compilation_cache.is_cache_used memoizes its decision per process.
+# NB: the warmup-trajectory check runs in its own subprocess
+# (test_warmup.py) — its back-to-back donating-program compile burst,
+# issued ~240 tests into a long-lived process, crashed XLA:CPU in four
+# distinct single-threaded ways (with and without this cache); see
+# docs/design.md §8b.  No other test has ever tripped that fragility.
 _CACHE_DIR = os.environ.get(
     "GCN_TPU_TEST_CACHE",
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
 )
 if _CACHE_DIR:
     os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
                           "0.5")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
                           "-1")
-    # the env vars above affect only CHILD processes: the axon
-    # sitecustomize/jax read them at import, but this process was already
-    # imported without them taking effect for jax.config — and we do NOT
-    # set jax_compilation_cache_dir here on purpose (see above)
-    jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
