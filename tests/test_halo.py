@@ -22,7 +22,10 @@ from gcn_tpu.parallel.halo import (
 from gcn_tpu.parallel.mesh import make_mesh
 
 
-def _forest(b=6, n=24, seed=0):
+def _forest(b=4, n=16, seed=0):
+    # small on purpose: the module compiles ~10 distinct shard_map
+    # programs over 8 virtual devices on a 2-core host, and the scatter
+    # math is exact at any size — shapes only buy wall time here
     rng = np.random.RandomState(seed)
     parent = np.zeros((b, n), np.int32)
     child = np.zeros((b, n), np.int32)
