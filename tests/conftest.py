@@ -60,6 +60,20 @@ def pytest_configure(config):
     )
 
 
+# Files whose tests dominate the suite's wall time (subprocess CLI runs,
+# 2-process multihost, 8-device dryruns).  Scheduling them FIRST shortens
+# xdist's critical path: with alphabetical collection they landed at the
+# end, and whichever worker drew the last 20-second test set the `-n 2`
+# wall (~330 s vs the 294 s ideal split).
+_FRONTLOAD = ("test_multihost", "test_drivers", "test_elastic",
+              "test_parallel", "test_halo", "test_warmup")
+
+
+def pytest_collection_modifyitems(config, items):
+    items.sort(key=lambda it: 0 if any(
+        f in it.nodeid for f in _FRONTLOAD) else 1)
+
+
 @pytest.fixture(scope="session")
 def goldens_dir():
     return GOLDEN_DIR
