@@ -257,19 +257,6 @@ def prepare_product_loop(tr, batch, n_batches: int = 40):
     return one_pass, n_batches
 
 
-def bench_product_loop(tr, batch, label: str, n_batches: int = 40,
-                       repeats: int = 3):
-    """Sustained wall-clock rate of the product loop.  This is the number
-    a training run actually sustains; the slope-timed rows above cancel
-    fixed per-call costs by design."""
-    one_pass, n = prepare_product_loop(tr, batch, n_batches)
-    dt = min(one_pass() for _ in range(repeats)) / n
-    edges = int(np.asarray(batch["edge_mask"]).sum())
-    diag(record=f"product_loop:{label}", ms_per_batch=round(dt * 1e3, 3),
-         edges_per_sec=round(edges / dt, 1))
-    return dt, edges
-
-
 def bench_product_loop_pair(passes: dict, n_batches: int, repeats: int = 3):
     """Time SEVERAL prepared product-loop passes with their repeats
     interleaved (same rationale as ``bench_pair``: the shared chip's
@@ -286,8 +273,10 @@ def bench_product_loop_pair(passes: dict, n_batches: int, repeats: int = 3):
 
 def prepare_eval_step(cfg, batch):
     """Warmed eval-forward chain (deterministic forward + softmax as one
-    on-device fori_loop program) → ``(chain(k), sentences, edges)``."""
+    on-device fori_loop program via ``timing.device_chain``) →
+    ``(chain(k), sentences, edges, flops)``."""
     from gcn_tpu.models.gcn import GCNClassifier
+    from gcn_tpu.utils.timing import device_chain, step_flops
 
     model = GCNClassifier(cfg.model)
     params = jax.jit(lambda r, bb: model.init(r, bb, True))(
@@ -295,6 +284,7 @@ def prepare_eval_step(cfg, batch):
     )
     jax.block_until_ready(params)
 
+    @jax.jit
     def step(s):
         p = jax.tree.map(
             lambda a: a + (s * 1e-30).astype(a.dtype)
@@ -304,20 +294,10 @@ def prepare_eval_step(cfg, batch):
         logits, _ = model.apply(p, batch, True)
         return jax.nn.softmax(logits, axis=-1).astype(jnp.float32).sum()
 
-    @jax.jit
-    def run_k(k):
-        return jax.lax.fori_loop(
-            0, k, lambda _, s: step(s), jnp.float32(0.0)
-        )
-
-    float(run_k(jnp.int32(2)))  # compile + warm
-
-    def chain(k):
-        float(run_k(jnp.int32(k)))
-
+    chain = device_chain(step)
     b = int(np.asarray(batch["example_mask"]).sum())
     edges = int(np.asarray(batch["edge_mask"]).sum())
-    return chain, b, edges
+    return chain, b, edges, step_flops(step, jnp.float32(0.0))
 
 
 def bench_eval_pair(cfgs_batches: dict, tiny: bool):
@@ -334,12 +314,16 @@ def bench_eval_pair(cfgs_batches: dict, tiny: bool):
         **({"k1": 2, "k2": 4, "repeats": 2} if tiny else {}),
     )
     out = {}
-    for lbl, (chain, b, edges) in prepared.items():
+    for lbl, (chain, b, edges, flops) in prepared.items():
         dt = dts[lbl]
         out[lbl] = (dt, b)
-        diag(record=f"eval_step:{lbl}", ms_per_batch=round(dt * 1e3, 3),
-             sentences_per_sec=round(b / dt, 1),
-             edges_per_sec=round(edges / dt, 1))
+        rec = dict(record=f"eval_step:{lbl}",
+                   ms_per_batch=round(dt * 1e3, 3),
+                   sentences_per_sec=round(b / dt, 1),
+                   edges_per_sec=round(edges / dt, 1))
+        if flops:
+            rec["cost_analysis_flops"] = flops
+        diag(**rec)
     return out, t2
 
 

@@ -114,8 +114,9 @@ class ModelConfig:
     # Attention-mode aggregation backend:
     #   "dense" — one [B,N,N] score matmul + masked softmax + dense
     #             aggregation per band (MXU-native; the measured winner at
-    #             sentence scale: 0.13 vs 1.35 ms/band fwd+bwd at flagship
-    #             shapes, tools/step_breakdown.py --attention),
+    #             sentence scale: 1.78× the edge path on the full train
+    #             step, interleaved; ~2.1× per band fwd+bwd —
+    #             tools/step_breakdown.py --attention),
     #   "edge"  — SDDMM + edge-softmax + weighted SpMM over edge lists
     #             (O(E·H) memory: no [B,N,N]; the giant-forest regime),
     #   "auto"  — dense when the padded node count is MXU-sized (N ≤ 512),

@@ -224,9 +224,14 @@ class GCNClassifier(nn.Module):
             )
         )
         # attention backend: dense masked-softmax bands at sentence scale
-        # (MXU matmuls; measured 10× the edge path per band at flagship
+        # (MXU matmuls; 1.78× the edge path on the full step, ~2.1×/band at flagship
         # shapes), edge lists (SDDMM + edge-softmax + SpMM) beyond
         attn_impl = cfg.attention_impl
+        if attn_impl not in ("auto", "dense", "edge"):
+            raise ValueError(
+                f"unknown attention_impl {attn_impl!r}: "
+                "expected auto | dense | edge"
+            )
         if attn_impl == "auto":
             attn_impl = "dense" if n <= 512 else "edge"
         attn_edge = cfg.adj_type == "attention" and attn_impl == "edge"
@@ -450,9 +455,10 @@ class GCNClassifier(nn.Module):
                 if part is not None:
                     # graph_partition=edges: shard-local scores + weighted
                     # scatter, cross-shard softmax normalizers (one pmax +
-                    # one psum of [B,N] per band) — parallel.edge_partition
+                    # one [B,N] psum per band), BOTH bands' partials summed
+                    # before one [B,N,H] psum — parallel.edge_partition
                     from gcn_tpu.parallel.edge_partition import (
-                        partitioned_attention_band,
+                        partitioned_attention_layer,
                     )
 
                     mode_p, mesh_p, axis_p, da_p = part
@@ -463,12 +469,9 @@ class GCNClassifier(nn.Module):
                         epp = jnp.pad(epp, ((0, 0), (0, pad_e)))
                         ecp = jnp.pad(ecp, ((0, 0), (0, pad_e)))
                         emp = jnp.pad(emp, ((0, 0), (0, pad_e)))
-                    agg = partitioned_attention_band(
+                    agg = partitioned_attention_layer(
                         mesh_p, q * scale, k, hw, epp, ecp, emp,
                         axis=axis_p, data_axis=da_p,
-                    ) + partitioned_attention_band(
-                        mesh_p, q * scale, k, hw, epp, ecp, emp,
-                        reverse=True, axis=axis_p, data_axis=da_p,
                     )
                 elif attn_impl == "dense":
                     # Both bands share ONE dense score matrix
@@ -479,14 +482,21 @@ class GCNClassifier(nn.Module):
                     # allclose-tested against the edge path.
                     s = jnp.einsum("bxh,byh->bxy", q, k) * scale
                     s = s.astype(jnp.float32)
-                    mask_f = adj.forward > 0          # dst=parent rows
-                    mask_r = jnp.swapaxes(mask_f, 1, 2)  # dst=child rows
+                    # adjacency cells carry edge MULTIPLICITY (scatter-add
+                    # of 1s): weighting exp(s) by the count makes a
+                    # duplicated (parent, child) edge contribute twice to
+                    # both the softmax denominator and the aggregate,
+                    # exactly like the edge-list path (parity-tested on a
+                    # multigraph)
+                    cnt_f = adj.forward.astype(s.dtype)  # dst=parent rows
+                    cnt_r = jnp.swapaxes(cnt_f, 1, 2)    # dst=child rows
                     agg = None
-                    for m in (mask_f, mask_r):
+                    for cnt in (cnt_f, cnt_r):
+                        m = cnt > 0
                         sm = jnp.where(m, s, -1e30)
                         mx = jax.lax.stop_gradient(
                             jnp.max(sm, axis=2, keepdims=True))
-                        ex = jnp.where(m, jnp.exp(sm - mx),
+                        ex = jnp.where(m, cnt * jnp.exp(sm - mx),
                                        jnp.zeros((), s.dtype))
                         den = jnp.maximum(
                             ex.sum(axis=2, keepdims=True), 1e-30)

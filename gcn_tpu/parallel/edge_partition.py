@@ -65,7 +65,7 @@ def partitioned_aggregate(
     return run(h, edge_parent, edge_child, edge_mask)
 
 
-def partitioned_attention_band(
+def partitioned_attention_layer(
     mesh: Mesh,
     q: jax.Array,            # [B,N,Dk] destination projections (scaled)
     k: jax.Array,            # [B,N,Dk] source projections
@@ -73,24 +73,24 @@ def partitioned_attention_band(
     edge_parent: jax.Array,  # [B,E] — E divisible by axis size
     edge_child: jax.Array,
     edge_mask: jax.Array,
-    reverse: bool = False,
     axis: str = "model",
     data_axis: str | None = None,
 ) -> jax.Array:
-    """One attention band (``adj_type=attention``) with edges sharded
+    """BOTH attention bands (``adj_type=attention``) with edges sharded
     over ``axis`` and the edge-softmax normalized ACROSS shards.
 
     Per-edge scores ``q[dst]·k[src]`` are local to each edge shard; the
     softmax normalizer is per *destination node*, whose incoming edges
-    may live on any shard — so the per-node running max is combined with
-    one ``pmax`` and the exp-sum denominator with one ``psum`` (both
-    [B,N] — the cross-shard edge-softmax lifting the round-3 partition
-    exclusion at models/gcn.py).  The weighted aggregate then combines
-    with the same psum as ``partitioned_aggregate``.  Numerics are
-    identical to ``ops.pallas.sddmm.edge_softmax`` (max-shifted, masked):
-    the global max over shard-local maxima IS the per-node max.
-    ``reverse=False``: dst=parent, src=child (A_f); ``reverse=True``
-    swaps them (A_fᵀ).
+    may live on any shard — so each band's per-node running max is
+    combined with one ``pmax`` and its exp-sum denominator with one
+    ``psum`` (both [B,N] — the cross-shard edge-softmax lifting the
+    round-3 partition exclusion at models/gcn.py).  The forward band
+    (dst=parent, A_f) and reverse band (dst=child, A_fᵀ) are computed in
+    ONE shard_map and their local partial aggregates summed BEFORE the
+    single [B,N,H] psum — the dominant cross-shard collective is paid
+    once per layer, not once per band.  Numerics are identical to
+    ``ops.pallas.sddmm.edge_softmax`` (max-shifted, masked): the global
+    max over shard-local maxima IS the per-node max.
     """
     da = data_axis if (
         data_axis is not None and dict(mesh.shape).get(data_axis, 1) > 1
@@ -112,33 +112,36 @@ def partitioned_attention_band(
         check_vma=False,
     )
     def run(q_l, k_l, hw_l, ep, ec, em):
-        dst, src = (ec, ep) if reverse else (ep, ec)
-        di = dst.astype(jnp.int32)
-        qd = jnp.take_along_axis(q_l, di[:, :, None], axis=1)
-        ks = jnp.take_along_axis(k_l, src[:, :, None].astype(jnp.int32),
-                                 axis=1)
-        s = jnp.sum(qd * ks, axis=-1).astype(jnp.float32)   # [B, E/K]
-        neg = jnp.asarray(-1e30, s.dtype)
-        sm = jnp.where(em, s, neg)
-        b = dst.shape[0]
-        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], dst.shape)
-        # the softmax shift is gradient-free (its contribution cancels);
-        # stop_gradient also sidesteps pmax's missing VJP rule
-        m_loc = jnp.full((b, n), neg, s.dtype).at[bidx, di].max(
-            jax.lax.stop_gradient(sm), mode="drop")
-        m_glob = jax.lax.stop_gradient(jax.lax.pmax(m_loc, axis))
-        ex = jnp.where(
-            em, jnp.exp(sm - jnp.take_along_axis(m_glob, di, axis=1)),
-            jnp.zeros((), s.dtype))
-        den_loc = jnp.zeros((b, n), s.dtype).at[bidx, di].add(
-            ex, mode="drop")
-        den = jax.lax.psum(den_loc, axis)
-        alpha = ex / jnp.maximum(
-            jnp.take_along_axis(den, di, axis=1), 1e-30)
-        op = spmm_reverse if reverse else spmm_forward
-        part_out = op(hw_l, ep, ec, em,
+        b = ep.shape[0]
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], ep.shape)
+        neg = jnp.asarray(-1e30, jnp.float32)
+
+        def band(reverse: bool):
+            dst, src = (ec, ep) if reverse else (ep, ec)
+            di = dst.astype(jnp.int32)
+            qd = jnp.take_along_axis(q_l, di[:, :, None], axis=1)
+            ks = jnp.take_along_axis(
+                k_l, src[:, :, None].astype(jnp.int32), axis=1)
+            s = jnp.sum(qd * ks, axis=-1).astype(jnp.float32)  # [B, E/K]
+            sm = jnp.where(em, s, neg)
+            # the softmax shift is gradient-free (its contribution
+            # cancels); stop_gradient also sidesteps pmax's missing VJP
+            m_loc = jnp.full((b, n), neg, s.dtype).at[bidx, di].max(
+                jax.lax.stop_gradient(sm), mode="drop")
+            m_glob = jax.lax.stop_gradient(jax.lax.pmax(m_loc, axis))
+            ex = jnp.where(
+                em, jnp.exp(sm - jnp.take_along_axis(m_glob, di, axis=1)),
+                jnp.zeros((), s.dtype))
+            den_loc = jnp.zeros((b, n), s.dtype).at[bidx, di].add(
+                ex, mode="drop")
+            den = jax.lax.psum(den_loc, axis)
+            alpha = ex / jnp.maximum(
+                jnp.take_along_axis(den, di, axis=1), 1e-30)
+            op = spmm_reverse if reverse else spmm_forward
+            return op(hw_l, ep, ec, em,
                       edge_weights=alpha.astype(hw_l.dtype))
-        return jax.lax.psum(part_out, axis)
+
+        return jax.lax.psum(band(False) + band(True), axis)
 
     return run(q, k, hw, edge_parent, edge_child, edge_mask)
 

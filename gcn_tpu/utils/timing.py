@@ -91,6 +91,27 @@ def calibrate(n: int = 4096) -> float:
     return frac
 
 
+def device_chain(step):
+    """Warmed ``chain(k)`` running ``step(s: f32 scalar) -> f32 scalar``
+    as one dynamic-trip-count on-device ``fori_loop`` program (one
+    compile, k passed at runtime): zero host dispatch inside the chain —
+    required for kernels faster than the ~0.1 ms per-call dispatch/relay
+    floor, and the building block callers interleave via ``bench_pair``-
+    style harnesses."""
+    @jax.jit
+    def run_k(k):
+        return jax.lax.fori_loop(
+            0, k, lambda _, s: step(s), jnp.float32(0.0)
+        )
+
+    float(run_k(jnp.int32(3)))  # compile + warm
+
+    def chain(k):
+        float(run_k(jnp.int32(k)))
+
+    return chain
+
+
 def scalar_chain_time(step, k1: int = 10, k2: int = 30,
                       repeats: int = 3, on_device: bool = False) -> float:
     """Slope-time a ``step(s: f32 scalar) -> f32 scalar``.
@@ -99,22 +120,10 @@ def scalar_chain_time(step, k1: int = 10, k2: int = 30,
     so the chain cannot overlap with itself; the final ``float()`` forces
     full execution.
 
-    ``on_device=True`` runs the chain as a single dynamic-trip-count
-    ``fori_loop`` program (one compile, k passed at runtime): zero host
-    dispatch inside the chain — required for kernels faster than the
-    ~0.1 ms per-call dispatch/relay floor.
+    ``on_device=True`` uses ``device_chain`` (see there).
     """
     if on_device:
-        @jax.jit
-        def run_k(k):
-            return jax.lax.fori_loop(
-                0, k, lambda _, s: step(s), jnp.float32(0.0)
-            )
-
-        float(run_k(jnp.int32(3)))  # compile + warm
-
-        def chain(k):
-            float(run_k(jnp.int32(k)))
+        chain = device_chain(step)
     else:
         s = step(jnp.float32(0.0))  # warm/compile
         float(s)

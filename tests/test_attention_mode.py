@@ -154,3 +154,38 @@ def test_dense_impl_grads_match_edge_impl(setup):
         ),
         grads["dense"], grads["edge"],
     )
+
+
+def test_dense_impl_matches_edge_impl_on_multigraph(setup):
+    """A duplicated (parent, child) edge must contribute twice to the
+    softmax denominator AND the aggregate in BOTH backends (the dense
+    path weights exp(s) by the adjacency's multiplicity counts; a bool
+    mask would silently collapse duplicates)."""
+    import dataclasses
+
+    cfg, model, params, batch, _ = setup
+    dup = dict(batch)
+    for key in ("edge_parent", "edge_child", "edge_deprel", "edge_mask"):
+        # append a copy of the first 3 edges of every example
+        dup[key] = np.concatenate([batch[key], batch[key][:, :3]], axis=1)
+    outs = {}
+    for impl in ("dense", "edge"):
+        cfg_i = dataclasses.replace(cfg, attention_impl=impl)
+        model_i = GCNClassifier(cfg_i)
+        logits, _ = model_i.apply(params, dup, True)
+        outs[impl] = np.asarray(logits)
+    np.testing.assert_allclose(outs["dense"], outs["edge"],
+                               atol=2e-4, rtol=2e-4)
+    # and the duplicates actually changed the result vs the simple graph
+    base, _ = GCNClassifier(dataclasses.replace(
+        cfg, attention_impl="dense")).apply(params, batch, True)
+    assert np.abs(outs["dense"] - np.asarray(base)).max() > 1e-6
+
+
+def test_invalid_attention_impl_raises(setup):
+    import dataclasses
+
+    cfg, model, params, batch, _ = setup
+    bad = GCNClassifier(dataclasses.replace(cfg, attention_impl="Dense"))
+    with pytest.raises(ValueError, match="attention_impl"):
+        bad.apply(params, batch, True)

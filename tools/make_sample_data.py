@@ -197,8 +197,13 @@ def make_hard_example(rng, i, dataset="tacred", trigger_copies=1):
             for c in range(trigger_copies):
                 attach_leaf(f"trgpair{pair}", heads[c % 2])
     if rng.rand() < 0.40:  # decoy: another pair's trigger off-path
+        # ONE decoy pair attached trigger_copies times: decoys must carry
+        # the SAME multiplicity as real triggers, or multiplicity itself
+        # becomes a real-vs-decoy cue that moves the ceiling the
+        # trigger_copies flag claims to hold fixed
+        decoy = rng.randint(pairs)
         for c in range(trigger_copies):
-            attach_leaf(f"trgpair{rng.randint(pairs)}",
+            attach_leaf(f"trgpair{decoy}",
                         rng.randint(len(ex["token"])) + 1)
     if rng.rand() < 0.08:  # label noise
         ex["relation"] = labels[rng.randint(len(labels))]

@@ -154,7 +154,12 @@ def attention_breakdown():
         # on-device fori_loop chain: these ops are near or below the
         # ~0.1 ms per-call dispatch floor, which a host-dispatched chain
         # mis-attributes to the op (it inverted the sddmm pallas/xla
-        # ranking until this harness was switched)
+        # ranking until this harness was switched).  The returned scalar
+        # CONSUMES the gradients — a discarded value_and_grad lets XLA
+        # dead-code-eliminate the whole backward pass (verified via
+        # cost_analysis: 33.7M flops with grads dropped vs 101M consumed
+        # on a 256x256 matmul), which silently turned these rows into
+        # forward-only times in an earlier revision
         def step(s):
             val, grads = jax.value_and_grad(
                 lambda *a: jnp.sum(f(*a) ** 2), argnums=tuple(
@@ -162,7 +167,9 @@ def attention_breakdown():
                     if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating))
             )(*[a + (s * 1e-30) if jnp.issubdtype(
                 jnp.asarray(a).dtype, jnp.floating) else a for a in args])
-            return val.astype(jnp.float32)
+            gsum = sum(jnp.sum(g).astype(jnp.float32)
+                       for g in jax.tree.leaves(grads))
+            return val.astype(jnp.float32) + gsum * 1e-30
 
         kk = (2, 4) if tiny else (10, 30)
         dt = scalar_chain_time(step, *kk, on_device=True)
