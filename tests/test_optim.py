@@ -76,3 +76,40 @@ def test_grad_clipping_applies():
     big = {"w": jnp.full((4,), 100.0)}
     up, _ = tx.update(big, state, params)
     assert np.isclose(np.linalg.norm(np.asarray(up["w"])), 1.0, atol=1e-5)
+
+
+def test_adam_matches_torch_trajectory():
+    """Our adam (optax, torch-default hyperparameters — the optimizer of
+    the flagship off-ceiling comparison protocol) must reproduce
+    torch.optim.Adam's parameter trajectory on an identical gradient
+    stream: rules the optimizer out as a source of the cross-framework
+    liftoff variance observed in the 11-seed flagship table."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(5, 7).astype(np.float32)
+    grads = [rng.randn(5, 7).astype(np.float32) * (0.1 + i % 3)
+             for i in range(50)]
+
+    # torch side — including the global-norm clip the reference driver
+    # applies before every optimizer step (reference train.py:224), which
+    # build_optimizer chains in by default (max_grad_norm=5.0)
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=1e-3, betas=(0.9, 0.999), eps=1e-8)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([wt], 5.0)
+        opt.step()
+
+    # ours: build_optimizer("adam", ...) ignores the passed lr by design
+    # (reference get_optimizer parity) and uses torch defaults
+    tx = build_optimizer("adam", 123.0)
+    wj = jnp.asarray(w0)
+    state = tx.init(wj)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, wj)
+        wj = optax.apply_updates(wj, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(wj), wt.detach().numpy(), atol=2e-6, rtol=2e-6)
