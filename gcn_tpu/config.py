@@ -150,6 +150,11 @@ class TrainConfig:
     # reference accumulates gradients to an effective batch of 50
     # (train.py:209); 0 = derive as max(1, 50 // batch_size)
     effective_batch_size: int = 50
+    # eval/dev/test forward batch size; 0 = same as batch_size.  Eval F1
+    # is batching-invariant (padding rows are masked), so larger eval
+    # batches purely cut per-epoch eval dispatches — the dominant epoch
+    # cost over the remote relay at small train batch sizes
+    eval_batch_size: int = 0
     max_grad_norm: float = 5.0
     log_step: int = 20
     save_epoch: int = 100

@@ -258,6 +258,21 @@ class _BatcherBase:
         if self._halo_cache_bytes + size <= self._HALO_CACHE_BUDGET:
             cache[key] = plans
             self._halo_cache_bytes += size
+        else:
+            # budget exhausted: these chunks rebuild their plans every
+            # epoch from here on — say so once (and count), so the
+            # large-corpus degradation is visible instead of silent
+            self._halo_cache_misses = getattr(
+                self, "_halo_cache_misses", 0) + 1
+            if self._halo_cache_misses == 1:
+                import sys
+
+                print(
+                    f"[gcn_tpu] halo-plan cache budget "
+                    f"({self._HALO_CACHE_BUDGET >> 20} MB) exhausted at "
+                    f"{len(cache)} chunks; further chunks rebuild plans "
+                    f"each epoch (vectorized builder, ~ms/chunk)",
+                    file=sys.stderr, flush=True)
         return full
 
 

@@ -50,6 +50,13 @@ from gcn_tpu.ops.gcn_layers import (
 from gcn_tpu.ops.lstm import bilstm
 from gcn_tpu.ops.pooling import pool
 
+# attention_impl=auto: largest single [B,N,N] f32 attention-score buffer
+# the dense backend may allocate before auto falls back to the edge
+# (SDDMM + edge-softmax) backend.  256 MiB keeps the flagship operating
+# points dense (B=50, N=512 → 52 MB) while refusing the large-B memory
+# cliff (peak HBM is ~bands × layers × this, plus backward residuals).
+_ATTN_DENSE_BYTE_BUDGET = 256 << 20
+
 
 def _uniform(bound: float):
     def init(key, shape, dtype=jnp.float32):
@@ -233,7 +240,21 @@ class GCNClassifier(nn.Module):
                 "expected auto | dense | edge"
             )
         if attn_impl == "auto":
-            attn_impl = "dense" if n <= 512 else "edge"
+            # Gate on the [B,N,N] f32 score/softmax buffer FOOTPRINT, not
+            # N alone: B scales it linearly and the backward keeps
+            # residuals (~2 bands × layers of these), so pure-N gating
+            # hits a memory cliff at large batch.  NOTE: under length
+            # bucketing, different buckets of one run can resolve to
+            # different backends (numerics differ at ~1e-6 — equivalence
+            # is covered by tests/test_model_parity.py's backend-parity
+            # case); pin --attention_impl to force one backend.
+            # Budget set from the measured dense/edge crossover sweep
+            # (tools/large_forest_bench.py --attention, docs/design.md §7):
+            # dense wins everywhere it fits on v5e HBM.
+            b = words.shape[0]
+            attn_impl = ("dense"
+                         if b * n * n * 4 <= _ATTN_DENSE_BYTE_BUDGET
+                         else "edge")
         attn_edge = cfg.adj_type == "attention" and attn_impl == "edge"
         denom = None
         if part is not None:

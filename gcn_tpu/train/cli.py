@@ -86,6 +86,10 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--num_epoch", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--effective_batch_size", type=int, default=50)
+    p.add_argument("--eval_batch_size", type=int, default=0,
+                   help="Eval/dev/test forward batch size (0 = "
+                        "batch_size). F1 is batching-invariant; larger "
+                        "values cut per-epoch eval dispatches.")
     p.add_argument("--max_grad_norm", type=float, default=5.0)
     p.add_argument("--log_step", type=int, default=20)
     p.add_argument("--log", type=str, default="logs.txt")
@@ -286,6 +290,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
     t.num_epoch = args.num_epoch
     t.batch_size = args.batch_size
     t.effective_batch_size = args.effective_batch_size
+    t.eval_batch_size = args.eval_batch_size
     t.max_grad_norm = args.max_grad_norm
     t.log_step = args.log_step
     t.save_epoch = args.save_epoch

@@ -144,6 +144,7 @@ def run_training(
     )
 
     bs = cfg.train.batch_size
+    ebs = cfg.train.eval_batch_size or bs
     if cfg.data.pack_sentences > 0:
         if cfg.model.use_bert_embeddings:
             raise ValueError(
@@ -159,7 +160,8 @@ def run_training(
 
         def _packed(ds, evaluation):
             return PackedBatcher(
-                ds, bs, pack_len=cfg.data.pack_len or None,
+                ds, ebs if evaluation else bs,
+                pack_len=cfg.data.pack_len or None,
                 max_slots=cfg.data.pack_sentences,
                 evaluation=evaluation, seed=cfg.train.seed,
             )
@@ -171,10 +173,10 @@ def run_training(
     else:
         train_batcher = Batcher(train_ds, bs, seed=cfg.train.seed,
                                 group_by_length=cfg.data.group_by_length)
-        train_eval_batcher = Batcher(train_ds, bs, evaluation=True)
-        dev_batcher = (Batcher(dev_ds, bs, evaluation=True)
+        train_eval_batcher = Batcher(train_ds, ebs, evaluation=True)
+        dev_batcher = (Batcher(dev_ds, ebs, evaluation=True)
                        if dev_ds else None)
-        test_batcher = Batcher(test_ds, bs, evaluation=True)
+        test_batcher = Batcher(test_ds, ebs, evaluation=True)
 
     import jax
 

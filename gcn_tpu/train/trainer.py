@@ -99,13 +99,21 @@ def _warmup_workers(requested: int) -> int:
     Concurrent jit dispatch is only worthwhile (and only known-safe) when
     compilation happens SERVICE-side — the remote TPU relay, where each
     compile RPC releases the GIL and the service compiles in parallel.  On
-    the CPU backend the compiles run in-process, and two threads
-    concurrently inside MLIR lowering + the persistent compilation cache
-    have segfaulted the interpreter (observed SIGSEGV: one thread in
+    any IN-PROCESS PJRT backend (CPU, a directly-attached TPU/GPU) the
+    compiles run inside this interpreter, and two threads concurrently
+    inside MLIR lowering + the persistent compilation cache have
+    segfaulted it (observed SIGSEGV: one thread in
     ``compilation_cache.get_executable_and_time``, another mid-lowering);
-    there is no overlap win in-process anyway, so serialize there.
+    there is no overlap win in-process anyway.  So the pool is opt-in:
+    only when the backend identifies as the remote relay (its
+    ``platform_version`` carries the relay signature), default inline
+    everywhere else.
     """
-    if jax.default_backend() == "cpu":
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ""
+    if "axon" not in version:
         return 1
     return max(1, int(requested))
 
@@ -671,9 +679,14 @@ class Trainer:
         loss_w: list[int] = []  # per-entry valid-example counts (host)
         n = 0
         self._saw_packed_eval = False
+        # eval_batch_size != batch_size: the reference's Σmean/n×bs
+        # bookkeeping (train.py:252) only reproduces the per-example mean
+        # when eval batches carry exactly batch_size rows — use the exact
+        # weighted mean then (same value on full same-size batches)
+        saw_offsize = False
 
         def drain(item):
-            nonlocal n
+            nonlocal n, saw_offsize
             probs, loss, mask = item
             probs = np.asarray(probs)
             preds = probs.argmax(axis=1)
@@ -682,6 +695,7 @@ class Trainer:
             losses.append(loss)
             loss_w.append(int(mask.sum()))
             n += int(mask.sum())
+            saw_offsize |= probs.shape[0] != self.cfg.train.batch_size
 
         spd = max(1, self.cfg.train.steps_per_dispatch)
         if spd > 1 and self._pack:
@@ -757,7 +771,7 @@ class Trainer:
                     drain(pending.pop(0))
             for item in pending:
                 drain(item)
-        if self._saw_packed_eval:
+        if self._saw_packed_eval or saw_offsize:
             # sentence-packed batchers: cfg batch_size counts ROWS, so
             # the reference formula below would deflate the logged loss
             # by the pack factor; instead report the exact per-example
