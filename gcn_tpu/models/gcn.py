@@ -217,12 +217,14 @@ class GCNClassifier(nn.Module):
                 "denominator); halo would need cross-slab q/k gathers — "
                 "use edges, or regular/diagonal_deprel/full_deprel"
             )
-        if part is not None and part[0] == "halo" and edge_drop_active:
-            raise ValueError(
-                "graph_partition=halo does not support stochastic edge "
-                "dropout (edge_keep_prob < 1): the exchange plan is built "
-                "host-side per batch; use graph_partition=edges"
-            )
+        # NOTE: halo + stochastic edge dropout is supported via
+        # plan-preserving message masking: the static exchange plan keeps
+        # every edge slot, and a per-edge [B, E] Bernoulli keep mask
+        # (sampled on device per band, identical RNG stream to the edges
+        # mode) zeroes dropped slots' l/h masks
+        # (parallel.halo.masks_with_edge_keep).  Degrees/denominators are
+        # computed pre-dropout, matching the reference
+        # (model/gcn.py:261 denom vs :313,:347 per-layer drops).
         use_fused = (part is None) and use_pallas and (
             (cfg.adj_type == "regular" and not cfg.no_adj)
             or (
@@ -436,8 +438,7 @@ class GCNClassifier(nn.Module):
                         ax = h
                     else:
                         ax = (
-                            self._part_agg(part, batch, h)
-                            + self._part_agg(part, batch, h, reverse=True)
+                            self._part_agg_pair(part, batch, h, h)
                             + incident.astype(dtype)[:, :, None] * h
                             + h
                         )
@@ -565,9 +566,8 @@ class GCNClassifier(nn.Module):
                 if part is not None:
                     # partitioned A_f (e_fwd⊙h) + A_fᵀ (e_rev⊙h) + e_self⊙h
                     axw = (
-                        self._part_agg(part, batch, e_fwd * h)
-                        + self._part_agg(part, batch, e_rev * h,
-                                         reverse=True)
+                        self._part_agg_pair(part, batch, e_fwd * h,
+                                            e_rev * h)
                         + e_self * h
                     )
                 else:
@@ -592,7 +592,9 @@ class GCNClassifier(nn.Module):
                     continue
                 if part is not None:
                     # Per-band edge dropout on the EDGE LIST ([B,E] keep
-                    # masks — "edges" mode only; halo raises above).  The
+                    # masks; halo maps them onto plan slots via
+                    # masks_with_edge_keep, so both partition modes drop
+                    # IDENTICAL edges from the same RNG stream).  The
                     # realized masks differ from the dense path's [B,N,N]
                     # band dropout as RNG draws, not in distribution.
                     em_f = em_r = None
@@ -609,12 +611,13 @@ class GCNClassifier(nn.Module):
                         h, deprel_table, deprel, l, w, b, dtype,
                         deterministic, fd_plans, bilinear_impl="xla",
                     )
-                    axw = self._part_agg(part, batch, x_f,
-                                         em_override=em_f)
-                    if not cfg.deprel_directed:
-                        axw = axw + self._part_agg(
-                            part, batch, x_r, reverse=True,
-                            em_override=em_r,
+                    if cfg.deprel_directed:
+                        axw = self._part_agg(part, batch, x_f,
+                                             em_override=em_f)
+                    else:
+                        axw = self._part_agg_pair(
+                            part, batch, x_f, x_r,
+                            em_f=em_f, em_r=em_r,
                         )
                     axw = axw + x_s
                 else:
@@ -692,8 +695,25 @@ class GCNClassifier(nn.Module):
                 data_axis=da,
             )
         # halo
+        from gcn_tpu.parallel.halo import halo_aggregate_arrays
+
+        arrs = self._halo_plan_arrays(batch, "r" if reverse else "f",
+                                      em_override)
+        k = int(arrs[0].shape[0])
+        n = x.shape[1]
+        slab = -(-n // k)
+        pad = k * slab - n
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+        out = halo_aggregate_arrays(mesh, xp, *arrs, axis=axis,
+                                    data_axis=da)
+        return out[:, :n] if pad else out
+
+    def _halo_plan_arrays(self, batch, tag: str, em_override):
+        """One band's plan arrays, with an optional per-edge keep mask
+        folded into the slot masks (stochastic edge dropout)."""
         from gcn_tpu.parallel.halo import (
-            halo_aggregate_arrays,
+            edge_slots_from_batch,
+            masks_with_edge_keep,
             plans_from_batch,
         )
 
@@ -703,14 +723,40 @@ class GCNClassifier(nn.Module):
                 "batch — attach them with parallel.halo.attach_halo_plans "
                 "(the Batcher does this when halo_devices is set)"
             )
-        arrs = plans_from_batch(batch, "r" if reverse else "f")
-        k = int(arrs[0].shape[0])
-        n = x.shape[1]
+        arrs = plans_from_batch(batch, tag)
+        if em_override is not None:
+            arrs = masks_with_edge_keep(
+                arrs, edge_slots_from_batch(batch, tag), em_override
+            )
+        return arrs
+
+    def _part_agg_pair(self, part, batch, x_f, x_r, em_f=None, em_r=None):
+        """``A_f @ x_f + A_fᵀ @ x_r`` through the active graph-parallel
+        operator.  In halo mode the two bands share ONE ``all_to_all``
+        (``parallel.halo.halo_aggregate_pair_arrays``) — half the
+        per-layer collectives of calling ``_part_agg`` twice; edges mode
+        keeps its two psum'd partial aggregates."""
+        mode, mesh, axis, da = part
+        if mode == "edges":
+            return (
+                self._part_agg(part, batch, x_f, em_override=em_f)
+                + self._part_agg(part, batch, x_r, reverse=True,
+                                 em_override=em_r)
+            )
+        from gcn_tpu.parallel.halo import halo_aggregate_pair_arrays
+
+        arrs_f = self._halo_plan_arrays(batch, "f", em_f)
+        arrs_r = self._halo_plan_arrays(batch, "r", em_r)
+        k = int(arrs_f[0].shape[0])
+        n = x_f.shape[1]
         slab = -(-n // k)
         pad = k * slab - n
-        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
-        out = halo_aggregate_arrays(mesh, xp, *arrs, axis=axis,
-                                    data_axis=da)
+        if pad:
+            x_f = jnp.pad(x_f, ((0, 0), (0, pad), (0, 0)))
+            x_r = jnp.pad(x_r, ((0, 0), (0, pad), (0, 0)))
+        out = halo_aggregate_pair_arrays(
+            mesh, x_f, x_r, arrs_f, arrs_r, axis=axis, data_axis=da
+        )
         return out[:, :n] if pad else out
 
     # ------------------------------------------------------------ full_deprel

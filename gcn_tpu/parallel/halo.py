@@ -59,6 +59,11 @@ class HaloPlan:
     halo_dst: np.ndarray      # [K, B, Eh] int32 (slab-local destination)
     halo_src: np.ndarray      # [K, B, Eh] int32 (extended-buffer source ≥ S)
     halo_mask: np.ndarray     # [K, B, Eh] bool
+    # provenance: the ORIGINAL batch edge index e of each slot.  Lets the
+    # runtime apply a per-edge [B, E] keep mask (stochastic edge dropout)
+    # to the plan's l/h masks on device — the plan itself stays static.
+    local_edge: np.ndarray    # [K, B, El] int32
+    halo_edge: np.ndarray     # [K, B, Eh] int32
 
 
 def _group_positions(codes: np.ndarray) -> tuple[np.ndarray, int]:
@@ -158,26 +163,31 @@ def build_halo_plan(
     l_dst = np.zeros((k, b_sz, el), np.int32)
     l_src = np.zeros((k, b_sz, el), np.int32)
     l_mask = np.zeros((k, b_sz, el), bool)
+    l_edge = np.zeros((k, b_sz, el), np.int32)
     if lk.shape[0]:
         lko, lbo = lk[lorder], lb[lorder]
         l_dst[lko, lbo, lpos] = (dst - kd * slab)[is_local][lorder]
         l_src[lko, lbo, lpos] = (src - ks * slab)[is_local][lorder]
         l_mask[lko, lbo, lpos] = True
+        l_edge[lko, lbo, lpos] = e_idx[is_local][lorder]
 
     h_dst = np.zeros((k, b_sz, eh), np.int32)
     h_src = np.zeros((k, b_sz, eh), np.int32)
     h_mask = np.zeros((k, b_sz, eh), bool)
+    h_edge = np.zeros((k, b_sz, eh), np.int32)
     if hks.shape[0]:
         hko, hbo = hkd[horder], hb[horder]
         h_dst[hko, hbo, hpos] = hdst_l[horder]
         h_src[hko, hbo, hpos] = (slab + hks * hp + edge_req_pos)[horder]
         h_mask[hko, hbo, hpos] = True
+        h_edge[hko, hbo, hpos] = e_idx[~is_local][horder]
 
     return HaloPlan(
         n_devices=k, slab=slab, halo_width=hp,
         requests=req_arr, request_mask=req_mask,
         local_dst=l_dst, local_src=l_src, local_mask=l_mask,
         halo_dst=h_dst, halo_src=h_src, halo_mask=h_mask,
+        local_edge=l_edge, halo_edge=h_edge,
     )
 
 
@@ -202,10 +212,10 @@ def build_halo_plan_loop(
 
     requests: dict[tuple[int, int, int], list[int]] = {}
     req_pos: dict[tuple[int, int, int, int], int] = {}
-    local: list[list[list[tuple[int, int]]]] = [
+    local: list[list[list[tuple[int, int, int]]]] = [
         [[] for _ in range(b_sz)] for _ in range(k)
     ]
-    halo: list[list[list[tuple[int, int, int]]]] = [
+    halo: list[list[list[tuple[int, int, int, int]]]] = [
         [[] for _ in range(b_sz)] for _ in range(k)
     ]
     for b in range(b_sz):
@@ -216,14 +226,14 @@ def build_halo_plan_loop(
             src = int(src_all[b, e])
             kd, ks = dst // slab, src // slab
             if ks == kd:
-                local[kd][b].append((dst - kd * slab, src - ks * slab))
+                local[kd][b].append((dst - kd * slab, src - ks * slab, e))
             else:
                 key = (ks, kd, b, src)
                 if key not in req_pos:
                     lst = requests.setdefault((ks, kd, b), [])
                     req_pos[key] = len(lst)
                     lst.append(src - ks * slab)
-                halo[kd][b].append((dst - kd * slab, ks, req_pos[key]))
+                halo[kd][b].append((dst - kd * slab, ks, req_pos[key], e))
 
     hp = max([len(v) for v in requests.values()] + [1])
     el = max([len(x) for dev in local for x in dev] + [1])
@@ -245,24 +255,29 @@ def build_halo_plan_loop(
     l_dst = np.zeros((k, b_sz, el), np.int32)
     l_src = np.zeros((k, b_sz, el), np.int32)
     l_mask = np.zeros((k, b_sz, el), bool)
+    l_edge = np.zeros((k, b_sz, el), np.int32)
     h_dst = np.zeros((k, b_sz, eh), np.int32)
     h_src = np.zeros((k, b_sz, eh), np.int32)
     h_mask = np.zeros((k, b_sz, eh), bool)
+    h_edge = np.zeros((k, b_sz, eh), np.int32)
     for kd in range(k):
         for b in range(b_sz):
-            for i, (d, s) in enumerate(local[kd][b]):
+            for i, (d, s, e) in enumerate(local[kd][b]):
                 l_dst[kd, b, i], l_src[kd, b, i] = d, s
                 l_mask[kd, b, i] = True
-            for i, (d, ks, pos) in enumerate(halo[kd][b]):
+                l_edge[kd, b, i] = e
+            for i, (d, ks, pos, e) in enumerate(halo[kd][b]):
                 h_dst[kd, b, i] = d
                 h_src[kd, b, i] = slab + ks * hp + pos
                 h_mask[kd, b, i] = True
+                h_edge[kd, b, i] = e
 
     return HaloPlan(
         n_devices=k, slab=slab, halo_width=hp,
         requests=req_arr, request_mask=req_mask,
         local_dst=l_dst, local_src=l_src, local_mask=l_mask,
         halo_dst=h_dst, halo_src=h_src, halo_mask=h_mask,
+        local_edge=l_edge, halo_edge=h_edge,
     )
 
 
@@ -402,18 +417,113 @@ def halo_aggregate_arrays(
     return run(h, reqs, reqm, *args)
 
 
+def halo_aggregate_pair_arrays(
+    mesh: Mesh,
+    x_f: jax.Array,                    # [B, K·S, H] forward-band features
+    x_r: jax.Array,                    # [B, K·S, H] reverse-band features
+    arrs_f: tuple,                     # forward plan, plans_from_batch order
+    arrs_r: tuple,                     # reverse plan, plans_from_batch order
+    axis: str = "model",
+    debug_checksum: bool = False,
+    data_axis: str | None = None,
+) -> jax.Array:
+    """``A_f @ x_f + A_fᵀ @ x_r`` with ONE boundary exchange.
+
+    Every aggregation call site sums the forward and reverse bands (they
+    share the same node sharding), so running them as two
+    ``halo_aggregate_arrays`` calls pays two ``all_to_all``s per layer.
+    This fuses them: both bands' boundary features are gathered into one
+    [K, B, Hp_f + Hp_r, H] buffer and exchanged in a single
+    ``all_to_all`` — halving the per-layer collective count (and its
+    latency-bound cost at flagship halo sizes) without changing any
+    indexing: the received buffer is split back at Hp_f and each band
+    scatters exactly as in the single-band operator.
+    """
+    k = int(arrs_f[0].shape[0])
+    hp_f = int(arrs_f[0].shape[3])
+    hp_r = int(arrs_r[0].shape[3])
+    assert mesh.shape[axis] == k, (mesh.shape, k)
+    assert x_f.shape == x_r.shape and x_f.shape[1] % k == 0, (
+        x_f.shape, x_r.shape, k)
+    slab = x_f.shape[1] // k
+
+    af = [jnp.asarray(a) for a in arrs_f]
+    ar = [jnp.asarray(a) for a in arrs_r]
+    da = data_axis if (
+        data_axis is not None and dict(mesh.shape).get(data_axis, 1) > 1
+    ) else None
+
+    plan_specs = (
+        P(axis, None, da, None), P(axis, None, da, None),
+        P(axis, da), P(axis, da), P(axis, da),
+        P(axis, da), P(axis, da), P(axis, da),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(da, axis, None), P(da, axis, None),
+                  *plan_specs, *plan_specs),
+        out_specs=P(da, axis, None),
+        check_vma=False,
+    )
+    def run(xf_own, xr_own,
+            req_f, reqm_f, ldst_f, lsrc_f, lmask_f, hdst_f, hsrc_f, hmask_f,
+            req_r, reqm_r, ldst_r, lsrc_r, lmask_r, hdst_r, hsrc_r, hmask_r):
+        def gather_sends(h_own, req, req_mask):
+            idx = req[0][..., None]                  # [K, B, Hp, 1]
+            s = jnp.take_along_axis(h_own[None], idx, axis=2)
+            return s * req_mask[0][..., None].astype(s.dtype)
+
+        sends = jnp.concatenate(
+            [gather_sends(xf_own, req_f, reqm_f),
+             gather_sends(xr_own, req_r, reqm_r)], axis=2,
+        )  # [K, B, Hp_f + Hp_r, H]
+        halo_feats = jax.lax.all_to_all(
+            sends, axis, split_axis=0, concat_axis=0, tiled=False
+        )
+        if debug_checksum:
+            sent = jax.lax.psum(jnp.sum(sends.astype(jnp.float32)), axis)
+            recv = jax.lax.psum(
+                jnp.sum(halo_feats.astype(jnp.float32)), axis)
+            jax.debug.callback(_checksum_guard, sent, recv)
+
+        def band(h_own, halo_band, hp, ldst, lsrc, lmask, hdst, hsrc,
+                 hmask):
+            out = _scatter_local(h_own, ldst[0], lsrc[0], lmask[0], slab)
+            h_ext = jnp.concatenate(
+                [h_own, jnp.moveaxis(halo_band, 0, 1).reshape(
+                    h_own.shape[0], k * hp, h_own.shape[-1])], axis=1,
+            )
+            return out + _scatter_local(
+                h_ext, hdst[0], hsrc[0], hmask[0], slab)
+
+        return (
+            band(xf_own, halo_feats[:, :, :hp_f], hp_f,
+                 ldst_f, lsrc_f, lmask_f, hdst_f, hsrc_f, hmask_f)
+            + band(xr_own, halo_feats[:, :, hp_f:], hp_r,
+                   ldst_r, lsrc_r, lmask_r, hdst_r, hsrc_r, hmask_r)
+        )
+
+    return run(x_f, x_r, *af, *ar)
+
+
 # ------------------------------------------------------- batch integration
 # The training path ships halo plans inside the batch dict as plain arrays
 # (they must be TRACED jit inputs — closure-captured numpy constants would
 # bake the first batch's plan into the compiled program).  Keys:
 # ``hplan_{f,r}_{req,reqm,ldst,lsrc,lmask,hdst,hsrc,hmask}`` for the
-# forward (A_f @ x) and reverse (A_fᵀ @ x) bands.
+# forward (A_f @ x) and reverse (A_fᵀ @ x) bands, plus the edge-provenance
+# slots ``hplan_{f,r}_{ledge,hedge}`` (for on-device edge dropout).
 
 _PLAN_FIELDS = (
     ("req", "requests"), ("reqm", "request_mask"),
     ("ldst", "local_dst"), ("lsrc", "local_src"), ("lmask", "local_mask"),
     ("hdst", "halo_dst"), ("hsrc", "halo_src"), ("hmask", "halo_mask"),
 )
+
+# shipped alongside, NOT part of halo_aggregate_arrays' argument list
+_EDGE_SLOT_FIELDS = (("ledge", "local_edge"), ("hedge", "halo_edge"))
 
 
 def is_plan_key(key: str) -> bool:
@@ -450,7 +560,7 @@ def attach_halo_plans(batch: dict, n: int, n_devices: int) -> dict:
             np.asarray(batch["edge_mask"]),
             n, k, reverse=reverse, pad_to=(slab, e_cap, e_cap),
         )
-        for short, field in _PLAN_FIELDS:
+        for short, field in _PLAN_FIELDS + _EDGE_SLOT_FIELDS:
             out[f"hplan_{tag}_{short}"] = getattr(plan, field)
     return out
 
@@ -459,6 +569,25 @@ def plans_from_batch(batch: dict, tag: str):
     """The 8 plan arrays for one band ('f' or 'r'), in
     ``halo_aggregate_arrays`` argument order."""
     return tuple(batch[f"hplan_{tag}_{short}"] for short, _ in _PLAN_FIELDS)
+
+
+def edge_slots_from_batch(batch: dict, tag: str):
+    """The (local_edge, halo_edge) provenance arrays for one band — maps a
+    per-edge [B, E] keep mask onto the plan's slot masks for on-device
+    stochastic edge dropout (`GCNClassifier._part_agg*`)."""
+    return (batch[f"hplan_{tag}_ledge"], batch[f"hplan_{tag}_hedge"])
+
+
+def masks_with_edge_keep(arrs: tuple, slots: tuple, edge_keep) -> tuple:
+    """Plan arrays with the slot masks ANDed against a per-edge [B, E]
+    keep mask (drop = False).  Indexing happens in the REPLICATED [K,...]
+    layout before shard_map, so it composes with any mesh."""
+    l_edge, h_edge = slots
+    (req, reqm, ldst, lsrc, lmask, hdst, hsrc, hmask) = arrs
+    b_ix = jnp.arange(edge_keep.shape[0], dtype=jnp.int32)[None, :, None]
+    lmask = lmask & edge_keep[b_ix, l_edge]
+    hmask = hmask & edge_keep[b_ix, h_edge]
+    return (req, reqm, ldst, lsrc, lmask, hdst, hsrc, hmask)
 
 
 def pad_nodes_for_axis(h: jax.Array, n_devices: int) -> jax.Array:

@@ -201,3 +201,143 @@ def test_batcher_halo_plan_cache_across_epochs(monkeypatch):
             np.testing.assert_array_equal(b1[k], b2[k])
         # word dropout still re-samples: the cache must not freeze words
         assert b1["words"].shape == b2["words"].shape
+
+
+# ------------------------------------------------ merged pair exchange (r5)
+
+
+def _pair_arrs(parent, child, mask, n, k):
+    from gcn_tpu.parallel.halo import attach_halo_plans, plans_from_batch
+
+    batch = attach_halo_plans(
+        {"edge_parent": parent, "edge_child": child, "edge_mask": mask},
+        n, k,
+    )
+    return batch, plans_from_batch(batch, "f"), plans_from_batch(batch, "r")
+
+
+def test_halo_pair_matches_two_single_calls(mesh):
+    """halo_aggregate_pair_arrays (one all_to_all for both bands) ==
+    the sum of the two single-band halo_aggregate_arrays calls."""
+    from gcn_tpu.parallel.halo import (
+        halo_aggregate_arrays,
+        halo_aggregate_pair_arrays,
+    )
+
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=5)
+    n = parent.shape[1]
+    b = parent.shape[0]
+    _, arrs_f, arrs_r = _pair_arrs(parent, child, mask, n, k)
+    kf = jax.random.split(jax.random.key(7), 2)
+    x_f = pad_nodes_for_axis(jax.random.normal(kf[0], (b, n, 16)), k)
+    x_r = pad_nodes_for_axis(jax.random.normal(kf[1], (b, n, 16)), k)
+
+    merged = halo_aggregate_pair_arrays(mesh, x_f, x_r, arrs_f, arrs_r)
+    single = (halo_aggregate_arrays(mesh, x_f, *arrs_f)
+              + halo_aggregate_arrays(mesh, x_r, *arrs_r))
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(single), atol=1e-5
+    )
+
+
+def test_halo_pair_is_one_collective(mesh):
+    """The merged exchange compiles to exactly ONE all-to-all (the two
+    single-band calls compile to two) — the point of the fusion."""
+    from gcn_tpu.parallel.halo import (
+        halo_aggregate_arrays,
+        halo_aggregate_pair_arrays,
+    )
+
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=6)
+    n = parent.shape[1]
+    b = parent.shape[0]
+    _, arrs_f, arrs_r = _pair_arrs(parent, child, mask, n, k)
+    x = pad_nodes_for_axis(
+        jax.random.normal(jax.random.key(3), (b, n, 8)), k)
+
+    def merged(xf, xr):
+        return halo_aggregate_pair_arrays(mesh, xf, xr, arrs_f, arrs_r)
+
+    def twice(xf, xr):
+        return (halo_aggregate_arrays(mesh, xf, *arrs_f)
+                + halo_aggregate_arrays(mesh, xr, *arrs_r))
+
+    txt1 = jax.jit(merged).lower(x, x).compile().as_text()
+    txt2 = jax.jit(twice).lower(x, x).compile().as_text()
+    # count op DEFINITIONS (`... all-to-all(...)`), not the
+    # get-tuple-element lines that reference the op's name
+    n1 = txt1.count(" all-to-all(")
+    n2 = txt2.count(" all-to-all(")
+    assert n1 == 1, (n1, n2)
+    assert n2 == 2, (n1, n2)
+
+
+def test_halo_pair_differentiable(mesh):
+    """Gradients through the merged pair exchange == dense-band grads."""
+    from gcn_tpu.ops.adjacency import build_adjacency
+    from gcn_tpu.parallel.halo import halo_aggregate_pair_arrays
+
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=7)
+    n = parent.shape[1]
+    b = parent.shape[0]
+    _, arrs_f, arrs_r = _pair_arrs(parent, child, mask, n, k)
+    x = jax.random.normal(jax.random.key(11), (b, n, 8))
+    adj = build_adjacency(
+        jnp.asarray(parent), jnp.asarray(child), jnp.asarray(mask), n
+    )
+
+    def loss_pair(v):
+        vp = pad_nodes_for_axis(v, k)
+        out = halo_aggregate_pair_arrays(
+            mesh, vp, 2.0 * vp, arrs_f, arrs_r)
+        return jnp.sum(out[:, :n] ** 2)
+
+    def loss_dense(v):
+        out = (jnp.matmul(adj.forward, v)
+               + jnp.matmul(jnp.swapaxes(adj.forward, 1, 2), 2.0 * v))
+        return jnp.sum(out ** 2)
+
+    g1 = jax.jit(jax.grad(loss_pair))(x)
+    g0 = jax.jit(jax.grad(loss_dense))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-4)
+
+
+def test_edge_keep_mask_drops_messages(mesh):
+    """masks_with_edge_keep (on-device edge dropout for halo) == building
+    the aggregate from the pre-masked edge list."""
+    from gcn_tpu.parallel.halo import (
+        edge_slots_from_batch,
+        halo_aggregate_arrays,
+        masks_with_edge_keep,
+        plans_from_batch,
+    )
+
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=9)
+    n = parent.shape[1]
+    b = parent.shape[0]
+    batch, arrs_f, _ = _pair_arrs(parent, child, mask, n, k)
+    rng = np.random.RandomState(0)
+    keep = rng.rand(*mask.shape) < 0.6
+
+    x = pad_nodes_for_axis(
+        jax.random.normal(jax.random.key(13), (b, n, 8)), k)
+    dropped = masks_with_edge_keep(
+        arrs_f, edge_slots_from_batch(batch, "f"), jnp.asarray(keep)
+    )
+    got = halo_aggregate_arrays(mesh, x, *dropped)
+
+    # oracle: plan built from the already-masked edge list (same shapes:
+    # pad_to budgets derive from mask-independent sizes)
+    from gcn_tpu.parallel.halo import build_halo_plan
+
+    slab = -(-n // k)
+    e_cap = parent.shape[1]
+    plan2 = build_halo_plan(parent, child, mask & keep, n, k,
+                            pad_to=(slab, e_cap, e_cap))
+    want = halo_aggregate(mesh, x, plan2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)

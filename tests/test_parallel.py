@@ -490,3 +490,42 @@ def test_grad_through_partitioned_attention_matches_dense():
         ),
         g1, g0,
     )
+
+
+def test_halo_edge_dropout_matches_edges_mode_trajectory():
+    """Stochastic edge dropout under graph_partition=halo (plan-preserving
+    message masking, r5) drops IDENTICAL edges to the edges mode — both
+    sample the same [B, E] Bernoulli keep masks from the same RNG stream —
+    so whole training trajectories match across the partition modes.
+    Recovers the reference training feature (train.py:111-116,
+    model/gcn.py:436-449) for the memory-scaling mode."""
+    from gcn_tpu.train.distributed_trainer import DistributedTrainer
+
+    losses = {}
+    for mode in ("edges", "halo"):
+        cfg = _tiny_part_cfg("full_deprel", mode)
+        cfg.model.edge_keep_prob = 0.7
+        cfg.mesh.graph_axis = 4
+        batch = _part_batch(cfg, mode)
+        t = DistributedTrainer(cfg, rng_seed=0)
+        losses[mode] = [float(t.update(batch)) for _ in range(3)]
+    assert losses["halo"] == pytest.approx(losses["edges"], abs=2e-4), (
+        losses)
+
+
+def test_halo_plan_edge_slots_match_loop_reference():
+    """The r5 edge-provenance slots (local_edge / halo_edge) are pinned
+    against the loop builder like every other plan field."""
+    from gcn_tpu.parallel.halo import build_halo_plan, build_halo_plan_loop
+
+    rng = np.random.RandomState(42)
+    for k in (2, 4):
+        b, e, n = 3, 17, 19
+        parent = rng.randint(0, n, (b, e)).astype(np.int32)
+        child = rng.randint(0, n, (b, e)).astype(np.int32)
+        mask = rng.rand(b, e) < 0.8
+        got = build_halo_plan(parent, child, mask, n, k)
+        want = build_halo_plan_loop(parent, child, mask, n, k)
+        for f in ("local_edge", "halo_edge"):
+            np.testing.assert_array_equal(
+                getattr(got, f), getattr(want, f), err_msg=f)
