@@ -156,6 +156,40 @@ def _bidirectional_pallas(x: jax.Array, lengths: jax.Array, layer: dict,
     return jnp.concatenate([y_f, y_b], axis=-1).astype(x.dtype)
 
 
+def _bidirectional_pallas_spmd(x, lengths, layer, seg_start, mesh, da):
+    """``_bidirectional_pallas`` inside ``shard_map`` over the data axis.
+
+    Mosaic kernels cannot be auto-partitioned by GSPMD: under a multi-
+    device jit the persistent-LSTM call MUST run shard-local (each device
+    scans its own batch rows — the math is example-local, so sharding B is
+    exact; weights are replicated).  Without this wrapper a sharded train
+    step that resolves ``rnn_impl=auto`` → pallas fails to compile on real
+    multi-chip TPU ("Mosaic kernels cannot be automatically partitioned"),
+    a failure the CPU virtual-mesh tests never see because pallas is
+    interpret-gated off there (caught by the AOT topology audit,
+    ``tools/aot_topology.py``)."""
+    from jax.sharding import PartitionSpec as P
+
+    x_spec = P(da, None, None)
+    layer_specs = jax.tree.map(lambda l: P(*([None] * l.ndim)), layer)
+    if seg_start is None:
+        return jax.shard_map(
+            lambda x_, ln_, lay_: _bidirectional_pallas(x_, ln_, lay_),
+            mesh=mesh,
+            in_specs=(x_spec, P(da), layer_specs),
+            out_specs=x_spec,
+            check_vma=False,
+        )(x, lengths, layer)
+    return jax.shard_map(
+        lambda x_, ln_, lay_, ss_: _bidirectional_pallas(
+            x_, ln_, lay_, seg_start=ss_),
+        mesh=mesh,
+        in_specs=(x_spec, P(da), layer_specs, P(da, None)),
+        out_specs=x_spec,
+        check_vma=False,
+    )(x, lengths, layer, seg_start)
+
+
 def bilstm(
     params: list[dict],
     x: jax.Array,
@@ -183,9 +217,29 @@ def bilstm(
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl not in ("scan", "pallas"):
         raise ValueError(f"unknown rnn impl: {impl}")
+    # Under an active SPMD mesh (DistributedTrainer / sharded train step)
+    # the Mosaic kernel must run inside shard_map — see
+    # _bidirectional_pallas_spmd.  Ragged batches (B not divisible by the
+    # data axis) fall back to the scan engine, mirroring
+    # gcn_layers.grouped_bilinear's fallback.
+    spmd = None
+    if impl == "pallas":
+        from gcn_tpu.utils.shard_ctx import active_grouping
+
+        ctx = active_grouping()
+        if ctx is not None and any(
+                s > 1 for s in dict(ctx[0].shape).values()):
+            mesh, da, _ = ctx
+            if x.shape[0] % dict(mesh.shape).get(da, 1) == 0:
+                spmd = (mesh, da)
+            else:
+                impl = "scan"
     h = x
     for li, layer in enumerate(params):
-        if impl == "pallas":
+        if impl == "pallas" and spmd is not None:
+            h = _bidirectional_pallas_spmd(h, lengths, layer, seg_start,
+                                           *spmd)
+        elif impl == "pallas":
             h = _bidirectional_pallas(h, lengths, layer,
                                       seg_start=seg_start)
         else:

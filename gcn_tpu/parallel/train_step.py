@@ -92,7 +92,20 @@ def make_sharded_train_step(
     # compile-service slowdown the fused single-device path has since
     # retired; equality vs the split path is covered by
     # tests/test_parallel.py.)
-    @partial(jax.jit, donate_argnums=(0, 1))
+    #
+    # Halo mode compiles with async all-to-all: XLA:TPU lowers the
+    # boundary exchange SYNCHRONOUSLY by default, serializing it with the
+    # local-edge aggregation; with the flag it becomes a start/done pair
+    # and the scheduler places the local scatter-add INSIDE the window —
+    # verified on the scheduled HLO for a v5e-8 topology by
+    # tools/aot_topology.py (docs/design.md §6b).
+    jit_kwargs = {}
+    if (cfg.model.graph_partition == "halo"
+            and jax.default_backend() == "tpu"):
+        jit_kwargs["compiler_options"] = {
+            "xla_tpu_enable_async_all_to_all": "true"}
+
+    @partial(jax.jit, donate_argnums=(0, 1), **jit_kwargs)
     def fused_step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -37,11 +37,15 @@ def local_grouping(mesh, data_axis: str = "data",
                    model_axis: Optional[str] = "model"):
     """Activate shard-local grouping over ``mesh``'s ``data_axis``.
 
-    No-op when ``mesh`` is None or the data axis has a single shard (the
+    No-op when ``mesh`` is None or every mesh axis has a single shard (the
     single-device trainer and all host-side tooling stay on the plain
-    path).
+    path).  A model-only mesh (data=1, model>1) still activates: the
+    grouped-bilinear/persistent-LSTM Mosaic kernels must run inside
+    shard_map whenever the surrounding jit is GSPMD-partitioned at all —
+    "Mosaic kernels cannot be automatically partitioned".
     """
-    if mesh is None or dict(mesh.shape).get(data_axis, 1) <= 1:
+    sizes = dict(mesh.shape) if mesh is not None else {}
+    if mesh is None or all(s <= 1 for s in sizes.values()):
         yield
         return
     token = _ctx.set((mesh, data_axis, model_axis))

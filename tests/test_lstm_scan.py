@@ -112,3 +112,59 @@ def test_bilstm_pallas_matches_torch_golden():
     out = bilstm(params, z["x"], z["lengths"], impl="pallas")
     np.testing.assert_allclose(np.asarray(out), z["out"],
                                atol=2e-5, rtol=1e-4)
+
+
+def test_bilstm_pallas_spmd_wrapper_matches_scan():
+    """The shard_map wrapper the sharded train step relies on
+    (``_bidirectional_pallas_spmd`` via an active ``local_grouping``
+    mesh): forward AND grads must match the scan engine on the virtual
+    mesh.  Without the wrapper a real multi-chip TPU compile fails with
+    "Mosaic kernels cannot be automatically partitioned" (caught by the
+    AOT topology audit, tests/test_aot_topology.py)."""
+    from gcn_tpu.ops.lstm import bilstm
+    from gcn_tpu.parallel.mesh import make_mesh
+    from gcn_tpu.utils.shard_ctx import local_grouping
+
+    b, t, d, h = 8, 10, 12, 16
+    key = jax.random.key(0)
+    layer = _rand_layer(key, d, h)
+    x = jax.random.normal(jax.random.key(1), (b, t, d), jnp.float32)
+    lengths = jnp.array([10, 7, 3, 1, 9, 10, 5, 2], jnp.int32)
+
+    def run(params, impl, mesh=None):
+        def loss(p):
+            y = bilstm([p], x, lengths, impl=impl)
+            return jnp.sum(y * y), y
+
+        if mesh is None:
+            return jax.value_and_grad(loss, has_aux=True)(params)
+        with local_grouping(mesh):
+            return jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+
+    (l_ref, y_ref), g_ref = run(layer, "scan")
+    mesh = make_mesh(data=4, model=2)
+    (l_sp, y_sp), g_sp = run(layer, "pallas", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, rtol=2e-4),
+        g_sp, g_ref)
+
+
+def test_bilstm_pallas_spmd_ragged_batch_falls_back():
+    """B not divisible by the data axis: the wrapper must fall back to
+    the scan engine instead of producing a shard_map shape error."""
+    from gcn_tpu.ops.lstm import bilstm
+    from gcn_tpu.parallel.mesh import make_mesh
+    from gcn_tpu.utils.shard_ctx import local_grouping
+
+    b, t, d, h = 6, 5, 8, 8
+    layer = _rand_layer(jax.random.key(2), d, h)
+    x = jax.random.normal(jax.random.key(3), (b, t, d), jnp.float32)
+    lengths = jnp.array([5, 4, 3, 2, 1, 5], jnp.int32)
+    y_ref = bilstm([layer], x, lengths, impl="scan")
+    with local_grouping(make_mesh(data=4, model=2)):
+        y = bilstm([layer], x, lengths, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)

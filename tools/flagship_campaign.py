@@ -234,10 +234,28 @@ def main():
                         "e.g. the attention-mode comparison)")
     p.add_argument("--ref_parallel", type=int, default=2)
     p.add_argument("--ours_eval_batch_size", type=int, default=100)
+    p.add_argument("--skip_done", action="store_true",
+                   help="skip (seed, framework, tag) pairs already present "
+                        "in results.jsonl — resume an interrupted campaign")
+    p.add_argument("--ref_only", action="store_true",
+                   help="run only the torch reference side (e.g. to "
+                        "re-drive it while the chip queue runs elsewhere)")
     args = p.parse_args()
+    # reference jobs run with cwd=/root/reference — every path handed to
+    # them must be absolute
+    args.out = os.path.abspath(args.out)
     seeds = [int(s) for s in args.seeds.split(",")]
     os.makedirs(args.out, exist_ok=True)
     results_path = os.path.join(args.out, "results.jsonl")
+    done = set()
+    if args.skip_done and os.path.exists(results_path):
+        with open(results_path) as fh:
+            for line in fh:
+                try:
+                    r = json.loads(line)
+                    done.add((r["seed"], r["framework"], r["tag"]))
+                except (json.JSONDecodeError, KeyError):
+                    pass
     lock = threading.Lock()
     # stage all seeds up front: the ref and ours workers for one seed
     # would otherwise race the tacred->data rename
@@ -246,10 +264,12 @@ def main():
                    args.n_train, args.trigger_copies)
 
     ref_q, ours_q = queue.Queue(), queue.Queue()
+    tag = args.tag or args.adj_type
     for s in seeds:
-        if not args.ours_only:
+        if not args.ours_only and (s, "reference", tag) not in done:
             ref_q.put((s, "reference", args.adj_type))
-        ours_q.put((s, "gcn_tpu", args.adj_type))
+        if not args.ref_only and (s, "gcn_tpu", tag) not in done:
+            ours_q.put((s, "gcn_tpu", args.adj_type))
     threads = []
     for _ in range(args.ref_parallel):
         t = threading.Thread(target=worker,
