@@ -209,14 +209,12 @@ class GCNClassifier(nn.Module):
         part = active_partition()
         if part is not None and cfg.graph_partition == "none":
             part = None
-        if (part is not None and cfg.adj_type == "attention"
-                and part[0] != "edges"):
-            raise ValueError(
-                "adj_type=attention supports graph_partition=edges (the "
-                "cross-shard edge-softmax psums per-destination max and "
-                "denominator); halo would need cross-slab q/k gathers — "
-                "use edges, or regular/diagonal_deprel/full_deprel"
-            )
+        # adj_type=attention composes with BOTH partition modes: edges
+        # (cross-shard edge-softmax: per-destination pmax + psum
+        # denominators) and halo (edges live on their destination's
+        # device, so the softmax is slab-local once boundary k/message
+        # features arrive — parallel.halo.halo_attention_pair_arrays,
+        # one stacked all_to_all per layer).
         # NOTE: halo + stochastic edge dropout is supported via
         # plan-preserving message masking: the static exchange plan keeps
         # every edge slot, and a per-edge [B, E] Bernoulli keep mask
@@ -474,7 +472,32 @@ class GCNClassifier(nn.Module):
                 ep, ec = batch["edge_parent"], batch["edge_child"]
                 em = batch["edge_mask"]
                 hw = h @ w
-                if part is not None:
+                if part is not None and part[0] == "halo":
+                    # node-sharded slabs: every edge lives on its dst's
+                    # device, so the per-dst softmax is slab-local; ONE
+                    # stacked all_to_all ships boundary concat(k, hw)
+                    # for both bands (parallel.halo)
+                    from gcn_tpu.parallel.halo import (
+                        halo_attention_pair_arrays,
+                    )
+
+                    _, mesh_p, axis_p, da_p = part
+                    arrs_f = self._halo_plan_arrays(batch, "f", None)
+                    arrs_r = self._halo_plan_arrays(batch, "r", None)
+                    kq = int(arrs_f[0].shape[0])
+                    slab = -(-n // kq)
+                    pad_n = kq * slab - n
+                    qs = q * scale
+                    kv = jnp.concatenate([k, hw], axis=-1)
+                    if pad_n:
+                        qs = jnp.pad(qs, ((0, 0), (0, pad_n), (0, 0)))
+                        kv = jnp.pad(kv, ((0, 0), (0, pad_n), (0, 0)))
+                    agg = halo_attention_pair_arrays(
+                        mesh_p, qs, kv, dk, arrs_f, arrs_r,
+                        axis=axis_p, data_axis=da_p,
+                    )
+                    agg = agg[:, :n] if pad_n else agg
+                elif part is not None:
                     # graph_partition=edges: shard-local scores + weighted
                     # scatter, cross-shard softmax normalizers (one pmax +
                     # one [B,N] psum per band), BOTH bands' partials summed

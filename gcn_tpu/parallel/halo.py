@@ -508,6 +508,127 @@ def halo_aggregate_pair_arrays(
     return run(x_f, x_r, *af, *ar)
 
 
+def halo_attention_pair_arrays(
+    mesh: Mesh,
+    q: jax.Array,                      # [B, K·S, Dk] dst queries (scaled)
+    kv: jax.Array,                     # [B, K·S, Dk+H] concat(k, msgs)
+    dk: int,
+    arrs_f: tuple,                     # forward plan, plans_from_batch order
+    arrs_r: tuple,                     # reverse plan
+    axis: str = "model",
+    data_axis: str | None = None,
+) -> jax.Array:
+    """Edge-attention aggregation (``adj_type=attention``) with
+    node-sharded features and ONE boundary exchange for both bands.
+
+    The halo plan assigns every edge to its DESTINATION's device, so the
+    per-destination edge softmax (``ops.pallas.sddmm.edge_softmax``
+    semantics) is device-local once the boundary sources' ``k`` and
+    message features arrive: scores ``q_own[dst]·k_ext[src]``, per-dst
+    max/denominator via local scatter-max/add over the dst slab, weighted
+    scatter of ``v_ext[src]``.  Both bands' ``concat(k, v)`` boundary
+    features ride a single stacked ``all_to_all`` — the same one-
+    exchange-per-layer structure as ``halo_aggregate_pair_arrays``.
+    ``q`` must be pre-scaled (``q @ Wq / sqrt(dk)``); returns the summed
+    fwd+rev band aggregate, node-sharded ``[B, K·S, H]``.
+
+    The reference has no working attention at all (its ``--deprel_attn``
+    path is dead code, reference ``model/gcn.py:199-227``), let alone a
+    partitioned one.
+    """
+    k = int(arrs_f[0].shape[0])
+    hp_f = int(arrs_f[0].shape[3])
+    hp_r = int(arrs_r[0].shape[3])
+    assert mesh.shape[axis] == k, (mesh.shape, k)
+    assert q.shape[:2] == kv.shape[:2] and q.shape[1] % k == 0, (
+        q.shape, kv.shape, k)
+    slab = q.shape[1] // k
+
+    af = [jnp.asarray(a) for a in arrs_f]
+    ar = [jnp.asarray(a) for a in arrs_r]
+    da = data_axis if (
+        data_axis is not None and dict(mesh.shape).get(data_axis, 1) > 1
+    ) else None
+
+    plan_specs = (
+        P(axis, None, da, None), P(axis, None, da, None),
+        P(axis, da), P(axis, da), P(axis, da),
+        P(axis, da), P(axis, da), P(axis, da),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(da, axis, None), P(da, axis, None),
+                  *plan_specs, *plan_specs),
+        out_specs=P(da, axis, None),
+        check_vma=False,
+    )
+    def run(q_own, kv_own,
+            req_f, reqm_f, ldst_f, lsrc_f, lmask_f, hdst_f, hsrc_f, hmask_f,
+            req_r, reqm_r, ldst_r, lsrc_r, lmask_r, hdst_r, hsrc_r, hmask_r):
+        def gather_sends(req, req_mask):
+            idx = req[0][..., None]                  # [K, B, Hp, 1]
+            s = jnp.take_along_axis(kv_own[None], idx, axis=2)
+            return s * req_mask[0][..., None].astype(s.dtype)
+
+        sends = jnp.concatenate(
+            [gather_sends(req_f, reqm_f), gather_sends(req_r, reqm_r)],
+            axis=2,
+        )  # [K, B, Hp_f + Hp_r, Dk+H]
+        halo_feats = jax.lax.all_to_all(
+            sends, axis, split_axis=0, concat_axis=0, tiled=False
+        )
+
+        b_sz = q_own.shape[0]
+        bidx1 = jnp.arange(b_sz, dtype=jnp.int32)[:, None]
+
+        def band(halo_band, hp, ldst, lsrc, lmask, hdst, hsrc, hmask):
+            kv_ext = jnp.concatenate(
+                [kv_own, jnp.moveaxis(halo_band, 0, 1).reshape(
+                    b_sz, k * hp, kv_own.shape[-1])], axis=1,
+            )
+            # all slots of this band: local then halo, dst slab-local
+            dst = jnp.concatenate([ldst[0], hdst[0]], axis=1)  # [B, E*]
+            src = jnp.concatenate([lsrc[0], hsrc[0]], axis=1)
+            msk = jnp.concatenate([lmask[0], hmask[0]], axis=1)
+            src3 = src[:, :, None].astype(jnp.int32)
+            q_slot = jnp.take_along_axis(
+                q_own, dst[:, :, None].astype(jnp.int32), axis=1)
+            k_slot = jnp.take_along_axis(kv_ext[..., :dk], src3, axis=1)
+            s = jnp.sum(
+                q_slot.astype(jnp.float32) * k_slot.astype(jnp.float32),
+                axis=-1)                                       # [B, E*]
+            # per-destination softmax, ops.pallas.sddmm.edge_softmax
+            # formula verbatim (same neg/eps constants for parity)
+            neg = jnp.asarray(-1e30, s.dtype)
+            masked = jnp.where(msk, s, neg)
+            dmax = jnp.full((b_sz, slab), neg, s.dtype).at[
+                bidx1, dst].max(masked, mode="drop")
+            shifted = masked - jnp.take_along_axis(
+                dmax, dst.astype(jnp.int32), axis=1)
+            ex = jnp.where(msk, jnp.exp(shifted), jnp.zeros((), s.dtype))
+            den = jnp.zeros((b_sz, slab), s.dtype).at[bidx1, dst].add(
+                ex, mode="drop")
+            den_e = jnp.take_along_axis(den, dst.astype(jnp.int32), axis=1)
+            alpha = ex / jnp.maximum(den_e, 1e-30)
+            v_slot = jnp.take_along_axis(kv_ext[..., dk:], src3, axis=1)
+            msgs = v_slot * alpha[:, :, None].astype(v_slot.dtype)
+            out = jnp.zeros((b_sz, slab, v_slot.shape[-1]), v_slot.dtype)
+            bidx2 = jnp.broadcast_to(
+                jnp.arange(b_sz, dtype=jnp.int32)[:, None], dst.shape)
+            return out.at[bidx2, dst].add(msgs, mode="drop")
+
+        return (
+            band(halo_feats[:, :, :hp_f], hp_f,
+                 ldst_f, lsrc_f, lmask_f, hdst_f, hsrc_f, hmask_f)
+            + band(halo_feats[:, :, hp_f:], hp_r,
+                   ldst_r, lsrc_r, lmask_r, hdst_r, hsrc_r, hmask_r)
+        )
+
+    return run(q, kv, *af, *ar)
+
+
 # ------------------------------------------------------- batch integration
 # The training path ships halo plans inside the batch dict as plain arrays
 # (they must be TRACED jit inputs — closure-captured numpy constants would

@@ -341,3 +341,80 @@ def test_edge_keep_mask_drops_messages(mesh):
     want = halo_aggregate(mesh, x, plan2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def _attn_reference(q, k_feat, hw, parent, child, mask, n):
+    """Unpartitioned edge-attention bands (the model's attn_impl=edge
+    path): sddmm scores, per-destination edge softmax, weighted SpMM."""
+    from gcn_tpu.ops.pallas.sddmm import edge_softmax, sddmm
+    from gcn_tpu.ops.spmm import spmm_forward, spmm_reverse
+
+    s_f = sddmm(parent, child, mask, q, k_feat)
+    a_f = edge_softmax(parent, s_f, mask, n)
+    agg = spmm_forward(hw, parent, child, mask, edge_weights=a_f)
+    s_r = sddmm(child, parent, mask, q, k_feat)
+    a_r = edge_softmax(child, s_r, mask, n)
+    return agg + spmm_reverse(hw, parent, child, mask, edge_weights=a_r)
+
+
+def test_halo_attention_matches_edge_path(mesh):
+    """halo_attention_pair_arrays (node-sharded q/k/messages, one
+    stacked boundary exchange, slab-local softmax) == the unpartitioned
+    sddmm → edge_softmax → weighted-SpMM bands."""
+    from gcn_tpu.parallel.halo import halo_attention_pair_arrays
+
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(seed=7)
+    b, n = parent.shape
+    dk, h_dim = 8, 16
+    key = jax.random.key(11)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, n, dk), jnp.float32)
+    k_feat = jax.random.normal(kk, (b, n, dk), jnp.float32)
+    hw = jax.random.normal(kv_, (b, n, h_dim), jnp.float32)
+
+    ref = _attn_reference(q, k_feat, hw, jnp.asarray(parent),
+                          jnp.asarray(child), jnp.asarray(mask), n)
+
+    _, arrs_f, arrs_r = _pair_arrs(parent, child, mask, n, k)
+    qp = pad_nodes_for_axis(q, k)
+    kvp = pad_nodes_for_axis(jnp.concatenate([k_feat, hw], -1), k)
+    out = halo_attention_pair_arrays(mesh, qp, kvp, dk, arrs_f, arrs_r)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :n], np.asarray(ref), atol=2e-5
+    )
+
+
+def test_halo_attention_differentiable(mesh):
+    """Grads through the halo attention operator match the unpartitioned
+    edge path (softmax + exchange + scatter all differentiable)."""
+    from gcn_tpu.parallel.halo import halo_attention_pair_arrays
+
+    k = mesh.shape["model"]
+    parent, child, mask = _forest(b=2, n=8, seed=9)
+    b, n = parent.shape
+    dk, h_dim = 4, 8
+    q = jax.random.normal(jax.random.key(1), (b, n, dk), jnp.float32)
+    k_feat = jax.random.normal(jax.random.key(2), (b, n, dk), jnp.float32)
+    hw = jax.random.normal(jax.random.key(3), (b, n, h_dim), jnp.float32)
+    _, arrs_f, arrs_r = _pair_arrs(parent, child, mask, n, k)
+
+    def loss_halo(args):
+        q_, k_, hw_ = args
+        qp = pad_nodes_for_axis(q_, k)
+        kvp = pad_nodes_for_axis(jnp.concatenate([k_, hw_], -1), k)
+        out = halo_attention_pair_arrays(mesh, qp, kvp, dk, arrs_f, arrs_r)
+        return jnp.sum(out[:, :n] ** 2)
+
+    def loss_ref(args):
+        q_, k_, hw_ = args
+        ref = _attn_reference(q_, k_, hw_, jnp.asarray(parent),
+                              jnp.asarray(child), jnp.asarray(mask), n)
+        return jnp.sum(ref ** 2)
+
+    v_h, g_h = jax.value_and_grad(loss_halo)((q, k_feat, hw))
+    v_r, g_r = jax.value_and_grad(loss_ref)((q, k_feat, hw))
+    np.testing.assert_allclose(float(v_h), float(v_r), rtol=1e-5)
+    for a, b_ in zip(g_h, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5)

@@ -74,14 +74,14 @@ def build_step(mode: str, mesh, n: int = 16, b_per_data: int = 4,
     from gcn_tpu.train.optim import build_optimizer
 
     cfg = _flagship_cfg(tiny=tiny)
-    if mode == "attn_edges":
+    if mode in ("attn_edges", "attn_halo"):
         cfg.model.adj_type = "attention"
-        cfg.model.graph_partition = "edges"
+        cfg.model.graph_partition = mode.split("_", 1)[1]
     elif mode != "none":
         cfg.model.graph_partition = mode
     b = mesh.shape["data"] * b_per_data
     batch = _synthetic_batch(cfg, b=b, n=n)
-    if mode == "halo":
+    if cfg.model.graph_partition == "halo":
         batch = attach_halo_plans(batch, n, mesh.shape["model"])
     model = GCNClassifier(cfg.model)
 
@@ -254,7 +254,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:2x4")
     ap.add_argument("--num_slices", type=int, default=1)
-    ap.add_argument("--modes", default="none,edges,halo,attn_edges")
+    ap.add_argument("--modes", default="none,edges,halo,attn_edges,attn_halo")
     ap.add_argument("--async_a2a", action="store_true",
                     help="compile with xla_tpu_enable_async_all_to_all")
     ap.add_argument("--excerpt", action="store_true")
