@@ -403,6 +403,10 @@ class GCNClassifier(nn.Module):
         def finish_layer(h, l):
             """Inter-layer dropout + activation tap (reference
             ``model/gcn.py:393``: gcn_drop on every non-final layer)."""
+            # per-layer ReLU output tap (alive-fraction diagnostics,
+            # tools/liftoff_diag.py) — sow is a no-op unless the caller
+            # requests the 'intermediates' collection
+            self.sow("intermediates", f"gcn_out{l}", h)
             if l < cfg.num_layers - 1:
                 h = dropout(rng() if not deterministic else None, h,
                             cfg.gcn_dropout, deterministic)
@@ -684,6 +688,7 @@ class GCNClassifier(nn.Module):
         for i in range(cfg.mlp_layers):
             out = TorchDense(cfg.hidden_dim, dtype=dtype, name=f"mlp{i}")(out)
             out = jax.nn.relu(out)
+            self.sow("intermediates", f"mlp{i}_relu", out)
         logits = TorchDense(cfg.num_class, dtype=dtype, name="classifier")(out)
         return logits.astype(jnp.float32), h_out.astype(jnp.float32)
 
