@@ -174,6 +174,133 @@ def memory_probe(hidden, tiny=False):
     return results
 
 
+
+
+# --------------------------------------------------------------- attention
+# The attention-mode backend crossover (VERDICT r4 item 7): the model's
+# auto gate (models/gcn._ATTN_DENSE_BYTE_BUDGET) picks dense vs edge on
+# the [B,N,N] f32 score-buffer footprint; this sweep MEASURES both
+# backends over the same forest at several layouts so the budget is a
+# measurement, not a guess.  Layer math mirrors models/gcn.py's
+# attention branch exactly (dense: multiplicity-weighted masked softmax
+# per band; edge: sddmm -> edge_softmax -> weighted SpMM per band).
+
+def attn_dense_layer(parent, child, mask, h, wq, wk, w):
+    import math
+
+    from gcn_tpu.ops.adjacency import build_adjacency
+
+    n = h.shape[1]
+    q, k, hw = h @ wq, h @ wk, h @ w
+    scale = 1.0 / math.sqrt(w.shape[1])
+    adj = build_adjacency(parent, child, mask, n)
+    s = (jnp.einsum("bxh,byh->bxy", q, k) * scale).astype(jnp.float32)
+    cnt_f = adj.forward.astype(s.dtype)
+    agg = None
+    for cnt in (cnt_f, jnp.swapaxes(cnt_f, 1, 2)):
+        m = cnt > 0
+        sm = jnp.where(m, s, -1e30)
+        mx = jax.lax.stop_gradient(jnp.max(sm, axis=2, keepdims=True))
+        ex = jnp.where(m, cnt * jnp.exp(sm - mx), jnp.zeros((), s.dtype))
+        den = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-30)
+        a = (ex / den).astype(h.dtype)
+        band = jnp.einsum("bxy,byh->bxh", a, hw)
+        agg = band if agg is None else agg + band
+    return jax.nn.relu((agg + hw).astype(jnp.float32)).astype(h.dtype)
+
+
+def attn_edge_layer(parent, child, mask, h, wq, wk, w):
+    import math
+
+    from gcn_tpu.ops.pallas.sddmm import edge_softmax, sddmm
+    from gcn_tpu.ops.spmm import spmm_forward, spmm_reverse
+
+    n = h.shape[1]
+    q, k, hw = h @ wq, h @ wk, h @ w
+    scale = 1.0 / math.sqrt(w.shape[1])
+    s_f = sddmm(parent, child, mask, q, k) * scale
+    a_f = edge_softmax(parent, s_f, mask, n)
+    agg = spmm_forward(hw, parent, child, mask, edge_weights=a_f)
+    s_r = sddmm(child, parent, mask, q, k) * scale
+    a_r = edge_softmax(child, s_r, mask, n)
+    agg = agg + spmm_reverse(hw, parent, child, mask, edge_weights=a_r)
+    return jax.nn.relu((agg + hw).astype(jnp.float32)).astype(h.dtype)
+
+
+def bench_attn_backend(name, layer, parent, child, mask, h, wq, wk, w,
+                       edges, tiny=False):
+    def loss(hh, q_, k_, w_, s):
+        out = layer(parent, child, mask,
+                    hh + (s * 1e-30).astype(hh.dtype), q_, k_, w_)
+        o = out.astype(jnp.float32)
+        return jnp.sum(o * o)
+
+    def step(s):
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            h, wq, wk, w, s)
+        return l * 1e-30 + sum(jnp.sum(g.astype(jnp.float32)) * 1e-30
+                               for g in grads)
+
+    try:
+        dt = scalar_chain_time(
+            jax.jit(step), on_device=True,
+            **({"k1": 1, "k2": 3, "repeats": 1} if tiny else {}),
+        )
+    except Exception as err:  # noqa: BLE001
+        diag(record="large_forest_attn", backend=name,
+             rows=int(h.shape[0]), row_len=int(h.shape[1]),
+             score_buffer_mb=round(
+                 h.shape[0] * h.shape[1] ** 2 * 4 / 2 ** 20, 1),
+             failed=str(err)[:200])
+        return None
+    diag(record="large_forest_attn", backend=name, rows=int(h.shape[0]),
+         row_len=int(h.shape[1]),
+         score_buffer_mb=round(h.shape[0] * h.shape[1] ** 2 * 4 / 2 ** 20,
+                               1),
+         ms=round(dt * 1e3, 3), edges_per_sec=round(edges / dt, 1))
+    return dt
+
+
+def attention_sweep(args):
+    calibrate(512 if args.tiny else 4096)
+    hidden = args.hidden
+    key = jax.random.key(0)
+    best = {}
+    for n in [int(x) for x in args.row_lens.split(",")]:
+        parent, child, mask = forest_rows(args.total_nodes, n)
+        b = args.total_nodes // n
+        edges = int(np.asarray(mask).sum())
+        h = jax.random.normal(key, (b, n, hidden), jnp.bfloat16)
+        mkw = lambda kk: jax.random.normal(  # noqa: E731
+            jax.random.key(kk), (hidden, hidden), jnp.bfloat16) * 0.05
+        wq, wk, w = mkw(1), mkw(2), mkw(3)
+        for name, layer in (("dense", attn_dense_layer),
+                            ("edge", attn_edge_layer)):
+            dt = bench_attn_backend(name, layer, parent, child, mask,
+                                    h, wq, wk, w, edges, tiny=args.tiny)
+            if dt:
+                best[(n, b, name)] = edges / dt
+    summary = {
+        "metric": "attention_backend_crossover",
+        "total_nodes": args.total_nodes, "hidden": hidden,
+        "results": {f"N{n}_B{b}_{k}": round(v, 1)
+                    for (n, b, k), v in best.items()},
+    }
+    dense_wins_mb = []
+    for (n, b, k) in sorted(best):
+        if k != "dense":
+            continue
+        e = best.get((n, b, "edge"))
+        mb = b * n * n * 4 / 2 ** 20
+        summary[f"dense_vs_edge_N{n}"] = (
+            round(best[(n, b, "dense")] / e, 2) if e else None)
+        if e and best[(n, b, "dense")] >= e:
+            dense_wins_mb.append(mb)
+    if dense_wins_mb:
+        summary["dense_wins_up_to_score_buffer_mb"] = max(dense_wins_mb)
+    print(json.dumps(summary))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--total_nodes", type=int, default=65536)
@@ -183,11 +310,17 @@ def main():
                    help="CPU smoke: small shapes, interpret-mode pallas")
     p.add_argument("--probe", action="store_true",
                    help="also run the dense-OOM memory probe")
+    p.add_argument("--attention", action="store_true",
+                   help="sweep the attention dense/edge backends instead "
+                        "of the aggregation backends")
     args = p.parse_args()
     if args.tiny:
         args.total_nodes = 512
         args.row_lens = "64,128"
         args.hidden = 32
+    if args.attention:
+        attention_sweep(args)
+        return
 
     calibrate(512 if args.tiny else 4096)
     hidden = args.hidden

@@ -82,7 +82,8 @@ def _emit(rec, out_fh):
 def run_ours(args, out_fh):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -249,6 +250,9 @@ def main():
     ap.add_argument("--word_dropout", type=float, default=0.04)
     ap.add_argument("--input_dropout", type=float, default=0.5)
     ap.add_argument("--gcn_dropout", type=float, default=0.5)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="ours side only: 'default' keeps the attached "
+                    "backend (the TPU chip) — ~20x faster per epoch")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     args.workdir = os.path.abspath(args.workdir)
