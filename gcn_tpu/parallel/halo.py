@@ -5,8 +5,12 @@ The scalable graph-parallel mode (SURVEY.md §5 "long-context analog",
 contiguous slabs across the ``model`` mesh axis; every device owns
 
 * its node-feature slab ``h[:, k·S:(k+1)·S, :]`` — per-device feature
-  memory is ``N/K`` of the full tensor (vs. fully replicated features in
-  ``edge_partition.partitioned_aggregate``), and
+  memory inside the operator is ``N/K`` of the full tensor plus the
+  ``K·Hp`` halo buffer (vs. fully replicated features in
+  ``edge_partition.partitioned_aggregate``); the surrounding per-token
+  transform still works on node-replicated activations, so the *step-
+  level* footprint is not yet N/K — measured honestly by the AOT
+  topology audit, docs/design.md §6b item 4 — and
 * the edges whose *destination* lies in its slab, so scatter-adds are
   always local.
 
@@ -15,9 +19,13 @@ halo.  A load-time plan (``build_halo_plan``) computes, per device pair
 (j → k), the exact boundary-node list k needs from j, padded to a static
 size, so the runtime exchange is ONE ``lax.all_to_all`` of only boundary
 features over ICI — not a full-tensor ``psum``.  Local-source edges are
-aggregated from the device's own slab with no dependency on the collective,
-so XLA overlaps the all_to_all with the local SpMM; halo-source edges are
-added when the exchange lands.
+aggregated from the device's own slab with no dependency on the
+collective; under ``xla_tpu_enable_async_all_to_all`` (set by
+``parallel.train_step`` for halo mode — XLA:TPU lowers a2a synchronously
+by default) the exchange becomes a start/done pair with the local
+scatter-add scheduled INSIDE the window, verified on the v5e-8 scheduled
+HLO by ``tools/aot_topology.py`` (docs/design.md §6b item 3); halo-source
+edges are added when the exchange lands.
 
 The replicate+psum path (``edge_partition.py``) is kept as the correctness
 oracle; both are tested against the dense adjacency matmul.
