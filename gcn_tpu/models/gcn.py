@@ -249,8 +249,13 @@ class GCNClassifier(nn.Module):
             # is covered by tests/test_model_parity.py's backend-parity
             # case); pin --attention_impl to force one backend.
             # Budget set from the measured dense/edge crossover sweep
-            # (tools/large_forest_bench.py --attention, docs/design.md §7):
-            # dense wins everywhere it fits on v5e HBM.
+            # (tools/large_forest_bench.py --attention on the v5e,
+            # 65k-node forest, hidden 256, docs/design.md §7): dense
+            # leads 9.4x at a 32 MB score buffer, 3.1x at 128 MB, 1.33x
+            # at 256 MB, and degrades steeply past that (1.05M edges/s
+            # at 512 MB) — 256 MB is the measured knee.  The edge path
+            # owns the beyond-budget regime, with its own VMEM ceiling
+            # near E=N=2048 per row (prefer shorter packed rows there).
             b = words.shape[0]
             attn_impl = ("dense"
                          if b * n * n * 4 <= _ATTN_DENSE_BYTE_BUDGET
