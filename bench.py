@@ -561,6 +561,14 @@ def main() -> None:
         "timing_suspect": timing_suspect,
         "baseline_note": "measured torch reference, "
                          "tools/bench_reference.py: 1185 edges/s CPU",
+        # the attention mode is not a speed-only headline: the round-5
+        # 11-seed off-ceiling campaign (design.md §8 item 6) measured it
+        # at mean best-dev 0.746 / worst 0.714 vs the reference
+        # flagship's 0.677 on identical data
+        "attention_quality_note": "11-seed hard-task campaign: "
+                                  "attention best-dev mean 0.746 "
+                                  "(worst 0.714) vs reference full_"
+                                  "deprel 0.677 — design.md §8 item 6",
     }))
 
 
