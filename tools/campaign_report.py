@@ -30,6 +30,12 @@ def load(path):
 
 
 def arm_stats(pairs, key="best_dev_f1", thresh=0.55):
+    # runs killed before their first logged dev epoch carry null metrics;
+    # a partial campaign must still be analyzable, so drop those pairs
+    pairs = [p for p in pairs
+             if p[0].get(key) is not None and p[1].get(key) is not None]
+    if not pairs:
+        return {"n": 0}
     a = np.array([p[0][key] for p in pairs], float)
     b = np.array([p[1][key] for p in pairs], float)
     d = a - b
@@ -93,7 +99,8 @@ def main():
             o, r = row.get("gcn_tpu"), row.get("reference")
             at = by.get(("attention", s), {}).get("gcn_tpu")
             fmt = lambda v: "—" if v is None else f"{v:.3f}"  # noqa: E731
-            if o and r:
+            if (o and r and o["best_dev_f1"] is not None
+                    and r["best_dev_f1"] is not None):
                 print(f"| {s} | {fmt(o['best_dev_f1'])} "
                       f"| {fmt(r['best_dev_f1'])} "
                       f"| {o['best_dev_f1'] - r['best_dev_f1']:+.3f} "

@@ -159,6 +159,7 @@ def run_one(args, seed, framework, adj_type, results_lock, results_path):
                     p.wait(timeout=60)
                 except subprocess.TimeoutExpired:
                     os.killpg(p.pid, signal.SIGKILL)
+                    p.wait()  # reap; records the real returncode
                 break
             rows, _ = read_log(log_path)
             if len(rows) >= args.min_epochs:
@@ -170,6 +171,7 @@ def run_one(args, seed, framework, adj_type, results_lock, results_path):
                         p.wait(timeout=60)
                     except subprocess.TimeoutExpired:
                         os.killpg(p.pid, signal.SIGKILL)
+                        p.wait()  # reap; records the real returncode
                     break
     wall = time.time() - t0
     rows, best_lines = read_log(log_path)
