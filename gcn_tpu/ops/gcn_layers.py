@@ -113,6 +113,27 @@ def _plan_local(flat: jax.Array, n_groups: int):
     return perm, inv_perm, group_sizes, onehot
 
 
+def _node_sharded_ctx(b_sz: int, n: int):
+    """(mesh, da, ma) when halo graph-partitioning is active and the
+    [B, N] grid divides the (data × model) mesh — the sequence-parallel
+    regime: the grouped transform runs per node-slab shard, so layer
+    activations stay node-sharded end-to-end (no inter-layer [B, N, H]
+    all-gather between the per-token transform and the halo aggregation;
+    identified by the AOT topology audit, design.md §6b item 4)."""
+    from gcn_tpu.utils.shard_ctx import active_partition
+
+    part = active_partition()
+    if part is None or part[0] != "halo":
+        return None
+    _, mesh, ma, da = part
+    sizes = dict(mesh.shape)
+    k = sizes.get(ma, 1)
+    d = sizes.get(da, 1) if da is not None else 1
+    if k <= 1 or n % k != 0 or b_sz % max(d, 1) != 0:
+        return None
+    return mesh, da, ma
+
+
 def make_group_plan(ids: jax.Array, n_groups: int):
     """Sort plan for ``grouped_bilinear``: (perm, inv_perm, group_sizes,
     onehot) over flattened token ids.  Reusable across calls whose ids are
@@ -129,6 +150,34 @@ def make_group_plan(ids: jax.Array, n_groups: int):
     hold shard-local row indices and ``group_sizes`` stacks the per-shard
     [R] counts — consumed with the same specs by ``grouped_bilinear``."""
     from gcn_tpu.utils.shard_ctx import active_grouping
+
+    # sequence-parallel (node-sharded) plan under halo partitioning:
+    # each (data, node-slab) shard sorts/groups its OWN [B_l, N_l] grid.
+    # Outputs keep the [B, N] shape (perm/inv hold shard-LOCAL flat row
+    # indices; group_sizes comes back [D, K, R]) so grouped_bilinear can
+    # consume them with the identical 2-D sharding — detected there by
+    # ``perm.ndim == 2``.
+    ctx2 = (_node_sharded_ctx(ids.shape[0], ids.shape[1])
+            if ids.ndim == 2 else None)
+    if ctx2 is not None:
+        mesh, da, ma = ctx2
+        from jax.sharding import PartitionSpec as P
+
+        def body2(ids_l):
+            b_l, n_l = ids_l.shape
+            perm, inv, gs, oh = _plan_local(
+                ids_l.reshape(-1).astype(jnp.int32), n_groups)
+            return (perm.reshape(b_l, n_l), inv.reshape(b_l, n_l),
+                    gs[None, None, :], oh.reshape(b_l, n_l, n_groups))
+
+        return jax.shard_map(
+            body2,
+            mesh=mesh,
+            in_specs=P(da, ma),
+            out_specs=(P(da, ma), P(da, ma), P(da, ma, None),
+                       P(da, ma, None)),
+            check_vma=False,
+        )(ids)
 
     flat = ids.reshape(-1).astype(jnp.int32)
     ctx = active_grouping()
@@ -176,12 +225,42 @@ def grouped_bilinear(
 
     b_sz, n, t = h.shape
     m = b_sz * n
-    h2 = h.reshape(m, t)
     if plan is None:
         plan = make_group_plan(ids, s.shape[0])
     perm, inv_perm, group_sizes, onehot = plan
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "ragged"
+    if perm.ndim == 2:
+        # sequence-parallel plan (make_group_plan's node-sharded path):
+        # run the row-local core per (data, node-slab) shard.  h stays
+        # [B, N, T] with nodes sharded on the model axis — the flatten
+        # happens INSIDE shard_map, so no cross-slab gather ever occurs
+        # and the output lands exactly in the halo operator's layout.
+        # The composed matrices are replicated here (node sharding and
+        # H sharding over the same axis are mutually exclusive).
+        ctx2 = _node_sharded_ctx(b_sz, n)
+        assert ctx2 is not None, "2-D group plan outside halo context"
+        mesh2, da2, ma2 = ctx2
+        from jax.sharding import PartitionSpec as P
+
+        def body2(h_l, perm_l, inv_l, gs_l, oh_l, s_, bs_):
+            b_l, n_l, t_ = h_l.shape
+            out = _grouped_core(
+                h_l.reshape(b_l * n_l, t_), perm_l.reshape(-1),
+                inv_l.reshape(-1), gs_l[0, 0],
+                oh_l.reshape(b_l * n_l, -1), s_, bs_, impl=impl)
+            return out.reshape(b_l, n_l, -1)
+
+        return jax.shard_map(
+            body2,
+            mesh=mesh2,
+            in_specs=(P(da2, ma2, None), P(da2, ma2), P(da2, ma2),
+                      P(da2, ma2, None), P(da2, ma2, None),
+                      P(None, None, None), P(None, None)),
+            out_specs=P(da2, ma2, None),
+            check_vma=False,
+        )(h, perm, inv_perm, group_sizes, onehot, s, bs)
+    h2 = h.reshape(m, t)
     ctx = active_grouping()
     if ctx is not None and m % dict(ctx[0].shape)[ctx[1]] != 0:
         ctx = None  # mirrors make_group_plan's fallback for ragged batches

@@ -5,12 +5,14 @@ The scalable graph-parallel mode (SURVEY.md §5 "long-context analog",
 contiguous slabs across the ``model`` mesh axis; every device owns
 
 * its node-feature slab ``h[:, k·S:(k+1)·S, :]`` — per-device feature
-  memory inside the operator is ``N/K`` of the full tensor plus the
-  ``K·Hp`` halo buffer (vs. fully replicated features in
-  ``edge_partition.partitioned_aggregate``); the surrounding per-token
-  transform still works on node-replicated activations, so the *step-
-  level* footprint is not yet N/K — measured honestly by the AOT
-  topology audit, docs/design.md §6b item 4 — and
+  memory is ``N/K`` of the full tensor plus the ``K·Hp`` halo buffer
+  (vs. fully replicated features in
+  ``edge_partition.partitioned_aggregate``).  Since round 5 this holds
+  through the whole GCN stack, not just inside the operator: the
+  factored per-token transform runs sequence-parallel under halo
+  (``ops.gcn_layers`` 2-D shard_map), so layer activations stay
+  node-sharded end-to-end — audited on the v5e-8 scheduled HLO,
+  docs/design.md §6b item 4 — and
 * the edges whose *destination* lies in its slab, so scatter-adds are
   always local.
 

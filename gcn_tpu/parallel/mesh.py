@@ -59,9 +59,15 @@ def batch_shardings(mesh: Mesh, batch: dict) -> dict:
     return spec
 
 
-def param_shardings(mesh: Mesh, params: dict) -> dict:
+def param_shardings(mesh: Mesh, params: dict,
+                    replicate_deprel: bool = False) -> dict:
     """Model-parallel placement for the large tables; everything else
-    replicated.
+    replicated.  ``replicate_deprel=True`` (set by the train step under
+    ``graph_partition=halo``) keeps the deprel bilinear weight
+    replicated: the sequence-parallel grouped transform needs the
+    composed per-relation matrices whole on every device, and gathering
+    an H-sharded weight there costs one [R,T,H] all-gather per band per
+    layer per pass — a fixed few-MB replication beats that.
 
     * word embedding [V, D] → vocab-sharded on ``model`` (the embedding-
       parallel analog of expert sharding; lookups become a gather + psum
@@ -90,6 +96,8 @@ def param_shardings(mesh: Mesh, params: dict) -> dict:
         if "word_emb" in joined and nd == 2:
             return sharded(leaf, 0)
         if "gcn_deprel_w" in joined and nd == 3:
+            if replicate_deprel:
+                return NamedSharding(mesh, P(*([None] * nd)))
             return sharded(leaf, 2)
         if ("mlp" in joined or "classifier" in joined) and nd == 2:
             return sharded(leaf, 1)
@@ -98,7 +106,8 @@ def param_shardings(mesh: Mesh, params: dict) -> dict:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def opt_shardings(mesh: Mesh, opt_state, params):
+def opt_shardings(mesh: Mesh, opt_state, params,
+                  replicate_deprel: bool = False):
     """Place optimizer state WITH its parameters.
 
     Optax state trees embed parameter-shaped subtrees (Adagrad/Adam moment
@@ -108,7 +117,8 @@ def opt_shardings(mesh: Mesh, opt_state, params):
     embedding therefore shards its accumulator too — replicating it would
     forfeit the memory saving.
     """
-    p_shard = param_shardings(mesh, params)
+    p_shard = param_shardings(mesh, params,
+                              replicate_deprel=replicate_deprel)
     by_path: dict[tuple, NamedSharding] = {}
     for (path, leaf), (_, shard) in zip(
         jax.tree_util.tree_flatten_with_path(params)[0],

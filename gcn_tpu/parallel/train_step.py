@@ -78,8 +78,10 @@ def make_sharded_train_step(
     tables over ``model`` (see ``mesh.param_shardings``).
     """
     loss_fn = make_loss_fn(model, cfg, mesh=mesh)
-    p_shard = param_shardings(mesh, params)
-    o_shard = opt_shardings(mesh, opt_state, params)
+    rep_dep = cfg.model.graph_partition == "halo"
+    p_shard = param_shardings(mesh, params, replicate_deprel=rep_dep)
+    o_shard = opt_shardings(mesh, opt_state, params,
+                            replicate_deprel=rep_dep)
     b_shard = batch_shardings(mesh, example_batch)
 
     placed_params = jax.device_put(params, p_shard)

@@ -69,14 +69,20 @@ class DistributedTrainer(Trainer):
         return jax.device_put(tree, shardings)
 
     def _place_state(self) -> None:
+        # halo mode keeps the deprel bilinear weight replicated — see
+        # parallel.mesh.param_shardings (sequence-parallel grouped path)
+        rep_dep = self.cfg.model.graph_partition == "halo"
         self.params = self._place_tree(
-            self.params, param_shardings(self.mesh, self.params)
+            self.params,
+            param_shardings(self.mesh, self.params,
+                            replicate_deprel=rep_dep),
         )
         # optimizer state shards with its parameters (a vocab-sharded
         # embedding with replicated Adagrad accumulators would save nothing)
         self.opt_state = self._place_tree(
             self.opt_state,
-            opt_shardings(self.mesh, self.opt_state, self.params),
+            opt_shardings(self.mesh, self.opt_state, self.params,
+                          replicate_deprel=rep_dep),
         )
 
     def load(self, directory: str, load_opt_state: bool = True) -> dict:

@@ -53,6 +53,20 @@ def test_halo_step_aot_compiles_with_async_merged_exchange(v5e8_mesh):
     # and the scheduler can place work inside the first window
     ow = overlap_window(txt)
     assert ow is not None
+    # sequence-parallel grouped transform: under halo the per-token
+    # full_deprel transform runs node-sharded (2-D shard_map in
+    # ops.gcn_layers), so NO all-gather may appear inside
+    # _full_deprel_components — a regression re-gathers [B, N, *]
+    # activations (or the composed [R, T, H] matrices) per band per
+    # layer (design.md §6b item 4, closed in round 5)
+    import re
+
+    fd_gathers = [
+        ln for ln in txt.splitlines()
+        if re.search(r"\ball-gather(-start)?\(", ln)
+        and "_full_deprel_components" in ln
+    ]
+    assert not fd_gathers, fd_gathers[:3]
 
 
 def test_edges_and_attention_steps_aot_compile(v5e8_mesh):

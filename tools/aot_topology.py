@@ -92,8 +92,10 @@ def build_step(mode: str, mesh, n: int = 16, b_per_data: int = 4,
                          topn=cfg.model.topn)
     opt_s = jax.eval_shape(tx.init, params_s)
 
-    p_shard = param_shardings(mesh, params_s)
-    o_shard = opt_shardings(mesh, opt_s, params_s)
+    rep_dep = cfg.model.graph_partition == "halo"
+    p_shard = param_shardings(mesh, params_s, replicate_deprel=rep_dep)
+    o_shard = opt_shardings(mesh, opt_s, params_s,
+                            replicate_deprel=rep_dep)
     b_shard = batch_shardings(mesh, batch)
 
     loss_fn = make_loss_fn(model, cfg, mesh=mesh)
